@@ -1,0 +1,140 @@
+"""Vectorized two-player Tetris environment.
+
+Replaces the reference's Python-loop vectorization
+(environment/tetris_environment_vector.py:9-191 — "the throughput ceiling by
+design", SURVEY.md 2.2) with one jitted, vmapped program over a
+struct-of-arrays batch of games.  The API mirrors tetris_environment
+(environment/tetris_environment.py):
+
+  reset / get_observation / step (perform_action) / get_winner /
+  simulate support (functional state IS the sandbox — no copy()/set()
+  plumbing needed: keep the old pytree, that's your anchor)
+
+and the worker-loop conventions of drl_tetris/worker.py:91-118
+(per-game alternating current player, auto-reset of finished games,
+zero-sum terminal reward, tetris_environment.py:135-149).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from drl_tetris_tpu.engine.core import EngineConfig, EngineState
+from drl_tetris_tpu.engine import step as S
+from drl_tetris_tpu.env.observations import Obs, observe as build_obs
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    engine: EngineConfig = EngineConfig()
+    time_elapsed_each_action: int = 400   # presets.py:133
+    # reward_fcn (tetris_environment.py:135-149): zero-sum terminal base
+    # reward, optional combo shaping (extra_rewards / reward_ammount)
+    extra_rewards: bool = False
+    reward_base_weight: float = 1.0
+    reward_combo_weight: float = 0.0
+
+    @property
+    def n_rotations(self):
+        return 4
+
+    @property
+    def n_translations(self):
+        return self.engine.width
+
+
+@struct.dataclass
+class EnvState:
+    engine: EngineState        # batched: every leaf has leading dim (N,)
+    current_player: jnp.ndarray  # (N,) int32 — whose turn it is NOW
+    key: jnp.ndarray           # PRNG key for auto-reset reseeding
+    rounds_played: jnp.ndarray  # (N,) int32
+
+
+def _reward(cfg: EnvConfig, eng: EngineState, player, done):
+    """tetris_environment.reward_fcn: base = youdead - medead (both dead
+    => -1), only at round end; optional combo-count shaping."""
+    ps = eng.players
+    take = lambda a, p: jnp.take_along_axis(a, p[:, None], axis=1)[:, 0]
+    me_dead = take(ps.dead, player).astype(jnp.int32)
+    you_dead = take(ps.dead, 1 - player).astype(jnp.int32)
+    base = jnp.where(me_dead & you_dead, -1, you_dead - me_dead)
+    base = jnp.where(done, base, 0).astype(jnp.float32)
+    if not cfg.extra_rewards:
+        return base
+    combo = take(ps.combo_count, player).astype(jnp.float32)
+    return cfg.reward_base_weight * base + cfg.reward_combo_weight * combo
+
+
+class TetrisVectorEnv:
+    """N independent two-player games stepped in lockstep under jit."""
+
+    def __init__(self, cfg: EnvConfig, n_games: int):
+        self.cfg = cfg
+        self.n_games = n_games
+
+    # -- lifecycle ---------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def reset(self, key) -> EnvState:
+        kinit, kplayer, knext = jax.random.split(key, 3)
+        keys = jax.random.split(kinit, self.n_games)
+        eng = jax.vmap(lambda k: S.init(self.cfg.engine, k))(keys)
+        # worker.py:84-87: initial current player random per game
+        player = jax.random.randint(kplayer, (self.n_games,), 0, 2)
+        return EnvState(engine=eng, current_player=player, key=knext,
+                        rounds_played=jnp.ones((self.n_games,), jnp.int32))
+
+    # -- core step ---------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def step(self, state: EnvState, rotations, translations
+             ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Perform the acting player's (r, t) macro in every game (null
+        action for the opponent), advance time, auto-reset finished games.
+
+        Returns (state', reward, done) where reward/done are for the acting
+        player of THIS step (pre-flip), matching perform_action + reset_envs
+        (worker.py:103-112).
+        """
+        cfg = self.cfg
+        eng = state.engine
+        N = self.n_games
+        player = state.current_player
+        use = jnp.arange(2)[None, :] == player[:, None]           # (N, 2)
+        r2 = jnp.where(use, rotations[:, None], 0)
+        t2 = jnp.where(use, translations[:, None], 0)
+        dt = jnp.int32(cfg.time_elapsed_each_action)
+        eng = jax.vmap(
+            lambda e, u, rr, tt: S.step_macro(cfg.engine, e, u, rr, tt, dt)
+        )(eng, use, r2, t2)
+        done = eng.round_over
+        reward = _reward(cfg, eng, player, done)
+
+        # auto-reset finished games (worker.py:157-166 reset_envs)
+        key, kreset = jax.random.split(state.key)
+        reset_keys = jax.random.split(kreset, N)
+        eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
+        eng = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((N,) + (1,) * (a.ndim - 1)), b, a),
+            eng, eng_reset)
+        return EnvState(
+            engine=eng,
+            current_player=1 - player,  # worker.py:96 alternation
+            key=key,
+            rounds_played=state.rounds_played + done.astype(jnp.int32),
+        ), reward, done
+
+    # -- observation -------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0, 3))
+    def observe(self, state: EnvState, player=None, mirrored=False) -> Obs:
+        p = state.current_player if player is None else player
+        return build_obs(self.cfg.engine, state.engine, p, mirrored=mirrored)
+
+    def get_winner(self, state: EnvState) -> jnp.ndarray:
+        """last_winner of the most recently finished round per game."""
+        return state.engine.last_winner

@@ -1,0 +1,16 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md section 4 test plan).  The config
+update must happen before any backend is initialized; the axon sitecustomize
+in this image force-selects the TPU tunnel otherwise.
+"""
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
