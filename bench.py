@@ -1,0 +1,64 @@
+"""Benchmark: env-steps/s on one chip, 4096 boards (BASELINE.json config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the 5M env-steps/s target from BASELINE.md
+(the reference publishes no numbers; its Python-loop vector env on the dev
+box is ~1e4 steps/s per worker by construction).
+
+The measured program is the real rollout hot path: vectorized two-player
+macro-action engine steps with auto-reset, actions drawn uniformly at
+random on-device (no NN, matching the 'random policy' benchmark config),
+stepped under one jitted lax.scan so no host round-trips are counted.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    n_games = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+
+    from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
+
+    cfg = EnvConfig()
+    env = TetrisVectorEnv(cfg, n_games)
+    st = env.reset(jax.random.PRNGKey(0))
+
+    def body(carry, key):
+        st = carry
+        kr, kt = jax.random.split(key)
+        r = jax.random.randint(kr, (n_games,), 0, 4)
+        t = jax.random.randint(kt, (n_games,), 0, cfg.engine.width)
+        st, _, _ = env.step(st, r, t)
+        return st, ()
+
+    @jax.jit
+    def run(st, key):
+        keys = jax.random.split(key, n_iters)
+        st, _ = jax.lax.scan(body, st, keys)
+        return st
+
+    # compile + warmup
+    st = run(st, jax.random.PRNGKey(1))
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    st = run(st, jax.random.PRNGKey(2))
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+
+    steps_per_s = n_games * n_iters / dt
+    baseline = 5_000_000.0
+    print(json.dumps({
+        "metric": "env_steps_per_s_4096_boards",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,7 @@ class PlayerState:
     rot: jnp.ndarray        # (P,) int32  absolute rotation (current_rotation)
     px: jnp.ndarray         # (P,) int32  posX
     py: jnp.ndarray         # (P,) int32  posY
+    cur_rows: jnp.ndarray   # (P, 4) uint32 cached ROW_MASKS[piece, rot]
     nextpiece: jnp.ndarray  # (P,) int32
     # Time & gravity (DropDelay.h)
     time_ms: jnp.ndarray            # (P,) int32
@@ -111,10 +112,10 @@ class PlayerState:
     combo_count: jnp.ndarray        # (P,) int32
     combo_line_count: jnp.ndarray   # (P,) int32
     combo_remaining: jnp.ndarray    # (P,) int32 (uint16 'remaining' in ref)
-    # Garbage ring buffer (Garbage.h std::vector<Garbage> as FIFO)
+    # Garbage FIFO (Garbage.h std::vector<Garbage>): the front entry always
+    # lives at slot 0 (pops shift left) so front accesses are static indexes
     g_count: jnp.ndarray    # (P, CAP) int32
     g_delay: jnp.ndarray    # (P, CAP) int32
-    g_head: jnp.ndarray     # (P,) int32
     g_size: jnp.ndarray     # (P,) int32
     g_min_remaining: jnp.ndarray  # (P,) int32
     # Inter-player line transfer (gamePlay.h: incoming_lines float)
@@ -154,6 +155,7 @@ def zeros_player_state(cfg: EngineConfig) -> PlayerState:
         occ=jnp.zeros((Pn, H), jnp.uint32),
         garb=jnp.zeros((Pn, H), jnp.uint32),
         piece=i32(Pn), rot=i32(Pn), px=i32(Pn), py=i32(Pn),
+        cur_rows=jnp.zeros((Pn, 4), jnp.uint32),
         nextpiece=i32(Pn),
         time_ms=i32(Pn),
         drop_delay=jnp.full((Pn,), 1000, jnp.int32),
@@ -164,7 +166,7 @@ def zeros_player_state(cfg: EngineConfig) -> PlayerState:
         combo_start=i32(Pn), combo_time=i32(Pn), combo_count=i32(Pn),
         combo_line_count=i32(Pn), combo_remaining=i32(Pn),
         g_count=i32(Pn, CAP), g_delay=i32(Pn, CAP),
-        g_head=i32(Pn), g_size=i32(Pn),
+        g_size=i32(Pn),
         g_min_remaining=jnp.full((Pn,), cfg.garbage_initial_delay, jnp.int32),
         incoming_lines=jnp.zeros((Pn,), jnp.float32),
         incoming_count=i32(Pn),

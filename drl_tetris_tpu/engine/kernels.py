@@ -2,11 +2,19 @@
 
 These are the TPU-native replacements for BasicField (gameField.cpp).  Every
 function operates on ONE player's board — an (H,) uint32 array where bit x of
-row y is cell (y, x) — plus scalar piece coordinates, and is written to be
-``vmap``-ed over (players, games).  The sequential C++ loops (slide-until-
-blocked, drop-until-blocked) are reformulated as data-parallel first-hit
-scans so a step over 4096 games is a few fused elementwise passes instead of
-a Python/C++ loop per game.
+row y is cell (y, x) — plus scalar piece state, and is written to be
+``vmap``-ed over (players, games).
+
+Second-generation kernels: NO gathers, NO scatters, NO lax loops on the hot
+path.  Dynamic row addressing (ext[py+i] in the C++) is reformulated as
+masked whole-column operations (`ys == py+i` selects over the H axis), the
+line-clear compaction as an (H, H) one-hot permutation, and piece-table
+lookups as unrolled selects — everything lowers to fused VPU elementwise
+work across the game batch, which is where a 4096-game step must live.
+
+The current piece's 4 row masks are CACHED in PlayerState.cur_rows
+(maintained by spawn/rotation in step.py) so collision tests don't re-read
+the shape table.
 
 Semantics references:
   possible()        gameField.cpp:10-20
@@ -20,162 +28,173 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from drl_tetris_tpu.engine.core import EngineConfig, ROW_MASKS
 
 _U32_ONES = jnp.uint32(0xFFFFFFFF)
+_ROW_MASKS_NP = np.asarray(ROW_MASKS)  # (7, 4, 4) static host copy
 
 
 def ext_board(cfg: EngineConfig, occ: jnp.ndarray) -> jnp.ndarray:
-    """Extended rows: playfield shifted left 4 bits, walls/out-of-field solid.
+    """Extended rows: playfield shifted left 4 bits, walls solid.
 
     Bit layout: bits 0..3 = left wall, bits 4..W+3 = playfield columns,
-    bits >= W+4 = right wall.  A piece row mask shifted by (posX + 4) can then
-    be tested against this with a single AND (bounds checks included), which
-    is the whole of BasicField::possible (gameField.cpp:10-20).
-    """
+    bits >= W+4 = right wall.  A piece row mask shifted by (posX + 4) tests
+    against this with a single AND — all of BasicField::possible
+    (gameField.cpp:10-20) except the floor, handled by row masking."""
     return (occ << 4) | jnp.uint32(cfg.wall_mask)
 
 
-def ext_board_padded(cfg: EngineConfig, occ: jnp.ndarray) -> jnp.ndarray:
-    """ext_board with 4 extra all-solid rows below (floor) for safe gathers."""
-    ext = ext_board(cfg, occ)
-    return jnp.concatenate([ext, jnp.full((4,), _U32_ONES, jnp.uint32)])
+def lookup_rows(piece, rot) -> jnp.ndarray:
+    """(4,) uint32 grid-row masks for (piece, rot) — unrolled 28-way select
+    instead of a gather (piece/rot are per-game traced scalars)."""
+    out = jnp.zeros((4,), jnp.uint32)
+    idx = piece * 4 + rot
+    for p in range(7):
+        for r in range(4):
+            out = jnp.where(idx == p * 4 + r,
+                            jnp.asarray(_ROW_MASKS_NP[p, r]), out)
+    return out
 
 
-def piece_rows(piece: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
-    """(4,) uint32 grid-row masks for (piece, rot)."""
-    return ROW_MASKS[piece, rot]
-
-
-def shift_rows(masks: jnp.ndarray, px: jnp.ndarray) -> jnp.ndarray:
-    """Shift 4-bit grid masks into extended-row coordinates (posX + 4 >= 1)."""
-    return masks << (px + 4).astype(jnp.uint32)
-
-
-def possible(cfg: EngineConfig, ext_pad: jnp.ndarray, piece, rot, px, py) -> jnp.ndarray:
-    """BasicField::possible.  ext_pad is ext_board_padded(occ)."""
-    masks = piece_rows(piece, rot)                      # (4,)
-    ys = py + jnp.arange(4, dtype=jnp.int32)            # (4,)
-    # Rows above the field are out-of-bounds (solid); below is covered by the
-    # padded floor rows.  Clamp the gather and patch y<0 with all-ones.
-    rows = ext_pad[jnp.clip(ys, 0, cfg.height + 3)]
-    rows = jnp.where(ys < 0, _U32_ONES, rows)
-    hit = rows & shift_rows(masks, px)
-    return jnp.all((masks == 0) | (hit == 0))
-
-
-def drop_distance(cfg: EngineConfig, ext_pad: jnp.ndarray, piece, rot, px, py) -> jnp.ndarray:
-    """Max d such that the piece can move down d rows from (px, py) without
-    collision (the loop in BasicField::hd, gameField.cpp:49-53), computed as
-    a data-parallel first-hit scan over rows."""
+def _piece_column(cfg: EngineConfig, rows4, py):
+    """Paint the 4 grid-row masks into an (H,) column at rows py..py+3
+    (unshifted bit space) + an out-of-bounds flag for occupied rows that
+    fall outside [0, H-1]."""
     H = cfg.height
-    masks = piece_rows(piece, rot)                          # (4,)
-    sh = shift_rows(masks, px)                              # (4,)
-    ys = jnp.arange(H + 4, dtype=jnp.int32)                 # (H+4,)
-    # hits[i, y] : piece grid-row i collides when placed so that grid row i
-    # sits at board row y.
-    hits = (ext_pad[None, :] & sh[:, None]) != 0            # (4, H+4)
-    rel = ys[None, :] - (py + jnp.arange(4, dtype=jnp.int32))[:, None]  # depth d
-    cand = hits & (rel >= 1) & (masks[:, None] != 0)
+    ys = jnp.arange(H, dtype=jnp.int32)
+    col = jnp.zeros((H,), jnp.uint32)
+    oob = jnp.bool_(False)
+    for i in range(4):
+        yi = py + i
+        col = col | jnp.where(ys == yi, rows4[i], jnp.uint32(0))
+        oob = oob | ((rows4[i] != 0) & ((yi < 0) | (yi > H - 1)))
+    return col, oob
+
+
+def possible(cfg: EngineConfig, ext: jnp.ndarray, rows4, px, py) -> jnp.ndarray:
+    """BasicField::possible.  ext is ext_board(occ); rows4 the piece's grid
+    row masks."""
+    col, oob = _piece_column(cfg, rows4, py)
+    sh = col << (px + 4).astype(jnp.uint32)
+    return (~oob) & ~jnp.any((ext & sh) != 0)
+
+
+def drop_distance(cfg: EngineConfig, ext: jnp.ndarray, rows4, px, py) -> jnp.ndarray:
+    """Max d such that the piece can move down d rows from (px, py) without
+    collision (the loop in BasicField::hd, gameField.cpp:49-53) as a
+    column-parallel first-hit computation."""
+    H = cfg.height
+    ys = jnp.arange(H, dtype=jnp.int32)
     big = jnp.int32(1 << 20)
-    first = jnp.min(jnp.where(cand, rel, big), axis=1)      # (4,) first bad d
-    first = jnp.where(masks == 0, big, first)
-    return jnp.maximum(jnp.min(first) - 1, 0)
+    first_block = big
+    for i in range(4):
+        sh = rows4[i] << (px + 4).astype(jnp.uint32)
+        hit = (ext & sh) != 0                      # (H,)
+        base = py + i
+        d_hit = jnp.min(jnp.where(hit & (ys >= base + 1), ys - base, big))
+        d_i = jnp.minimum(d_hit, H - base)         # floor
+        first_block = jnp.minimum(first_block,
+                                  jnp.where(rows4[i] == 0, big, d_i))
+    return jnp.maximum(first_block - 1, 0)
 
 
-def slide_distance(cfg: EngineConfig, ext_pad: jnp.ndarray, piece, rot, px, py,
+def slide_distance(cfg: EngineConfig, ext: jnp.ndarray, rows4, px, py,
                    direction: int) -> jnp.ndarray:
-    """Max number of 1-cell steps left (direction=-1) or right (+1) before the
-    first obstruction — step-by-step movement cannot tunnel past a blocked
-    intermediate position, so this equals the reference's while(mLeft()) /
-    repeated mRight loops."""
+    """Max 1-cell steps left (direction=-1) or right (+1) before the first
+    obstruction — equals the reference's step-by-step while(mLeft()) /
+    repeated mRight() loops (movement cannot tunnel)."""
     W = cfg.width
-    masks = piece_rows(piece, rot)                          # (4,)
-    ys = py + jnp.arange(4, dtype=jnp.int32)
-    rows = ext_pad[jnp.clip(ys, 0, cfg.height + 3)]
-    rows = jnp.where(ys < 0, _U32_ONES, rows)               # (4,)
-    steps = jnp.arange(1, W + 4, dtype=jnp.int32)           # (S,)
-    shift = (px + 4) + direction * steps                    # (S,)
-    ok_shift = (shift >= 0) & (shift <= 27)
-    sh = masks[None, :] << jnp.clip(shift, 0, 27)[:, None].astype(jnp.uint32)  # (S, 4)
-    coll = jnp.any((rows[None, :] & sh) != 0, axis=1) | ~ok_shift
+    col, _ = _piece_column(cfg, rows4, py)        # (H,) unshifted
     big = jnp.int32(1 << 20)
-    first_block = jnp.min(jnp.where(coll, steps, big))
+    first_block = big
+    for s in range(1, W + 4):
+        shift = (px + 4) + direction * s
+        bad_shift = (shift < 0) | (shift > 27)
+        sh = col << jnp.clip(shift, 0, 27).astype(jnp.uint32)
+        coll = bad_shift | jnp.any((ext & sh) != 0)
+        first_block = jnp.minimum(first_block,
+                                  jnp.where(coll, jnp.int32(s), big))
     return first_block - 1
 
 
-def try_move(cfg: EngineConfig, ext_pad, piece, rot, px, py, dx: int, dy: int):
+def try_move(cfg: EngineConfig, ext, rows4, px, py, dx: int, dy: int):
     """mLeft/mRight/mDown: returns (moved?, new px, new py)."""
     nx, ny = px + dx, py + dy
-    ok = possible(cfg, ext_pad, piece, rot, nx, ny)
+    ok = possible(cfg, ext, rows4, nx, ny)
     return ok, jnp.where(ok, nx, px), jnp.where(ok, ny, py)
 
 
 # Rotation kick candidates, in exact probe order: the plain rotation
-# (gameField.cpp:55-65) then the 7 kickTest probes (gameField.cpp:93-103):
-# (0,+1), (-1,0), (+1,0), (-1,+1), (+1,+1), (-2,0), (+2,0).  dy positive = down.
-_KICKS = jnp.array(
-    [(0, 0), (0, 1), (-1, 0), (1, 0), (-1, 1), (1, 1), (-2, 0), (2, 0)],
-    dtype=jnp.int32,
-)
+# (gameField.cpp:55-65) then the 7 kickTest probes (gameField.cpp:93-103).
+_KICKS = ((0, 0), (0, 1), (-1, 0), (1, 0), (-1, 1), (1, 1), (-2, 0), (2, 0))
 
 
-def try_rotate(cfg: EngineConfig, ext_pad, piece, rot, px, py, turns: int):
-    """rcw (turns=1) / rccw (turns=3) / r180 (turns=2) with the kick sequence.
-    Returns (rotated?, rot', px', py').  On failure the piece is unchanged
-    (the C++ pos fiddling nets out to a restore, gameField.cpp:55-91)."""
+def try_rotate(cfg: EngineConfig, ext, piece, rot, px, py, turns: int,
+               cur_rows=None):
+    """rcw (turns=1) / rccw (turns=3) / r180 (turns=2) with the kick probe
+    sequence.  Returns (rotated?, rot', px', py', rows4') where rows4' is
+    the piece's (possibly new) cached row masks."""
     new_rot = jnp.mod(rot + turns, 4)
-    cx = px + _KICKS[:, 0]
-    cy = py + _KICKS[:, 1]
-    ok = jax.vmap(lambda x, y: possible(cfg, ext_pad, piece, new_rot, x, y))(cx, cy)
-    any_ok = jnp.any(ok)
-    idx = jnp.argmax(ok)  # first True
-    return (
-        any_ok,
-        jnp.where(any_ok, new_rot, rot),
-        jnp.where(any_ok, cx[idx], px),
-        jnp.where(any_ok, cy[idx], py),
-    )
+    new_rows = lookup_rows(piece, new_rot)
+    found = jnp.bool_(False)
+    bx, by = px, py
+    for (dx, dy) in _KICKS:
+        ok = possible(cfg, ext, new_rows, px + dx, py + dy)
+        take = ok & ~found
+        bx = jnp.where(take, px + dx, bx)
+        by = jnp.where(take, py + dy, by)
+        found = found | ok
+    if cur_rows is None:
+        cur_rows = lookup_rows(piece, rot)
+    return (found,
+            jnp.where(found, new_rot, rot),
+            jnp.where(found, bx, px),
+            jnp.where(found, by, py),
+            jnp.where(found, new_rows, cur_rows))
 
 
-def add_piece(cfg: EngineConfig, occ: jnp.ndarray, piece, rot, px, py) -> jnp.ndarray:
-    """BasicField::addPiece: OR the 4 grid rows into the board (plain, un-
-    shifted bit space).  Positions are guaranteed in-bounds by possible()."""
-    masks = piece_rows(piece, rot)
-    sh = jnp.where(px >= 0, masks << px.astype(jnp.uint32),
-                   masks >> (-px).astype(jnp.uint32))
-    ys = py + jnp.arange(4, dtype=jnp.int32)
-    ys = jnp.where(masks == 0, cfg.height + 8, ys)  # out-of-range => dropped
-    return occ.at[ys].set(occ[jnp.clip(ys, 0, cfg.height - 1)] | sh, mode="drop")
+def add_piece(cfg: EngineConfig, occ: jnp.ndarray, rows4, px, py) -> jnp.ndarray:
+    """BasicField::addPiece: OR the 4 grid rows into the board (plain bit
+    space).  Positions are guaranteed in-bounds by possible()."""
+    col, _ = _piece_column(cfg, rows4, py)
+    sh = jnp.where(px >= 0, col << px.astype(jnp.uint32),
+                   col >> (-px).astype(jnp.uint32))
+    return occ | sh
 
 
 def clear_lines(cfg: EngineConfig, occ, garb, py):
-    """BasicField::clearlines (gameField.cpp:120-145).
+    """BasicField::clearlines (gameField.cpp:120-145), scatter-free.
 
-    Scans only rows r = py + y for y in [0, H-1] (clipped) — i.e. rows from
-    the piece's top downward; with negative py the bottom |py| rows are NOT
-    scanned (a faithful quirk).  Returns (occ', garb', n_cleared, n_garbage_rows).
-    """
+    Scans only rows r in [py, py+H-1] clipped to the field (with negative py
+    the bottom |py| rows are NOT scanned — a faithful quirk).  Kept rows
+    move down by the number of full rows below them; the compaction is an
+    (H, H) one-hot permutation-select.
+    Returns (occ', garb', n_cleared, n_garbage_rows)."""
     H = cfg.height
     rs = jnp.arange(H, dtype=jnp.int32)
     in_scan = (rs >= py) & (rs <= py + H - 1)
     full = (occ == jnp.uint32(cfg.full_row)) & in_scan
     n_cleared = jnp.sum(full).astype(jnp.int32)
     n_garb = jnp.sum(full & (garb != 0)).astype(jnp.int32)
-    # removeline shifts rows above the removed row down by one: each kept row
-    # moves down by the number of full rows BELOW it (larger index).
-    full_below = jnp.cumsum(full[::-1])[::-1] - full.astype(jnp.int32)
-    dst = jnp.where(full, H + 8, rs + full_below)  # out-of-range => dropped
-    occ2 = jnp.zeros_like(occ).at[dst].set(occ, mode="drop")
-    garb2 = jnp.zeros_like(garb).at[dst].set(garb, mode="drop")
+    full_below = (jnp.cumsum(full[::-1])[::-1] - full).astype(jnp.int32)
+    dst = rs + full_below                        # destination of kept row r
+    # sel[rd, rsrc] = kept & lands at rd
+    sel = (~full)[None, :] & (dst[None, :] == rs[:, None])   # (H, H)
+    occ2 = jnp.sum(jnp.where(sel, occ[None, :], 0), axis=1, dtype=jnp.uint32)
+    garb2 = jnp.sum(jnp.where(sel, garb[None, :], 0), axis=1, dtype=jnp.uint32)
     return occ2, garb2, n_cleared, n_garb
 
 
 def add_garbage_line(cfg: EngineConfig, occ, garb, hole):
-    """gamePlay.cpp:199-204: shift the field up one row; the new bottom row is
-    all garbage (tile 8) with a single hole."""
-    row = jnp.uint32(cfg.full_row) & ~(jnp.uint32(1) << hole.astype(jnp.uint32))
+    """gamePlay.cpp:199-204: shift the field up one row; the new bottom row
+    is all garbage (tile 8) with a single hole.  The hole bit select is
+    unrolled over columns (hole is a traced per-game scalar)."""
+    cols = jnp.arange(cfg.width, dtype=jnp.int32)
+    row = jnp.sum(jnp.where(cols == hole, jnp.uint32(0),
+                            (jnp.uint32(1) << cols.astype(jnp.uint32))),
+                  dtype=jnp.uint32)
     occ2 = jnp.concatenate([occ[1:], row[None]])
     garb2 = jnp.concatenate([garb[1:], row[None]])
     return occ2, garb2

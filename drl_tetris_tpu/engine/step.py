@@ -19,6 +19,13 @@ games is a plain ``jax.vmap``.  Per-player subroutines take/return a
 "player view" — a PlayerState whose fields are scalars/(H,) rows for ONE
 player, extracted with ``jax.tree.map(lambda a: a[i], players)``.
 
+Hot-path discipline (this file is the per-tick inner loop of a 4096-game
+batch): no lax.scan/fori, no gathers/scatters — bag draws are unrolled
+7-step chains, the garbage FIFO keeps its front at slot 0 so all front
+accesses are static, round seeding (the reference's S/Z reroll loop,
+gamePlay.cpp:223-228) is evaluated in closed form over precomputed draw
+candidates, and the current piece's row masks are cached in the state.
+
 RNG: the reference seeds mt19937 from wall-clock (PythonHandle.cpp:68-71,
 irreproducible by design).  Here each player carries explicit PRNG keys and
 draw counters.  For bit-exact parity against the C++ oracle, ``RngTables``
@@ -36,12 +43,13 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from drl_tetris_tpu.engine.core import (
     EngineConfig, EngineState, PlayerState, zeros_player_state,
-    ROW_MASKS, SPAWN_ROT,
 )
 from drl_tetris_tpu.engine import kernels as K
+from drl_tetris_tpu.engine.pieces import SPAWN_ROT as _SPAWN_ROT_NP
 
 I32 = jnp.int32
 F32 = jnp.float32
@@ -62,43 +70,57 @@ def _uniform(key, counter, table):
     return table[jnp.clip(counter, 0, table.shape[0] - 1)]
 
 
+def _select7(idx, values):
+    """out = values[idx] for a static 7-tuple, as unrolled selects."""
+    out = jnp.full_like(idx, values[0])
+    for k in range(1, 7):
+        out = jnp.where(idx == k, values[k], out)
+    return out
+
+
+def _spawn_rot(piece):
+    return _select7(piece, tuple(int(x) for x in _SPAWN_ROT_NP))
+
+
 # ---------------------------------------------------------------------------
 # Randomizer (randomizer.cpp)
 # ---------------------------------------------------------------------------
 
-def _rander_reset(v: PlayerState) -> PlayerState:
-    """randomizer::reset (randomizer.cpp:55-62): bag weights and lasthole only
-    — the underlying generator state (our draw counters) keeps running.
-    1000/7 is integer division in the reference: weights start at 142.0."""
-    cogp = jnp.full((7,), F32(1000 // 7), F32)
-    return v.replace(cogp=cogp, lasthole=I32(20))
+_COGP_FRESH = float(1000 // 7)  # integer division in the reference!
 
 
-def _draw_piece(v: PlayerState, tables) -> tuple[PlayerState, jnp.ndarray]:
-    """randomizer::getPiece (randomizer.cpp:10-32): pick by sequential weight
-    subtraction, then shift 3/4 of the picked weight onto the others."""
-    u = _uniform(v.piece_key, v.piece_draws, None if tables is None else tables.piece)
-    p = u * F32(1000)
-
-    def body(carry, i):
-        rem, found, chosen = carry
-        rem2 = rem - v.cogp[i]
-        hit = jnp.logical_and(~found, rem2 < 0)
+def _choose_from_bag(cogp, u):
+    """getPiece's selection loop (randomizer.cpp:12-19): sequential weight
+    subtraction, first negative wins, default 0.  Unrolled, exact float
+    order."""
+    rem = u * F32(1000)
+    chosen = I32(0)
+    found = jnp.bool_(False)
+    for i in range(7):
+        rem2 = rem - cogp[i]
+        hit = (~found) & (rem2 < 0)
         chosen = jnp.where(hit, i, chosen)
         found = found | hit
         rem = jnp.where(found, rem, rem2)
-        return (rem, found, chosen), None
+    return chosen
 
-    (_, _, chosen), _ = jax.lax.scan(
-        body, (p, jnp.bool_(False), I32(0)), jnp.arange(7, dtype=I32))
-    adjust = (v.cogp[chosen] / F32(4)) * F32(3)
-    cogp = v.cogp.at[chosen].add(-adjust)
+
+def _bag_update(cogp, chosen):
+    """getPiece's weight shift (randomizer.cpp:23-29)."""
+    cval = jnp.sum(jnp.where(jnp.arange(7) == chosen, cogp, 0.0))
+    adjust = (cval / F32(4)) * F32(3)
     spread = adjust / F32(6)
-    cogp = jnp.where(jnp.arange(7) == chosen, cogp, cogp + spread)
-    return v.replace(cogp=cogp, piece_draws=v.piece_draws + 1), chosen
+    return jnp.where(jnp.arange(7) == chosen, cogp - adjust, cogp + spread)
 
 
-def _draw_hole(v: PlayerState, cfg: EngineConfig, tables) -> tuple[PlayerState, jnp.ndarray]:
+def _draw_piece(v: PlayerState, tables):
+    u = _uniform(v.piece_key, v.piece_draws, None if tables is None else tables.piece)
+    chosen = _choose_from_bag(v.cogp, u)
+    return v.replace(cogp=_bag_update(v.cogp, chosen),
+                     piece_draws=v.piece_draws + 1), chosen
+
+
+def _draw_hole(v: PlayerState, cfg: EngineConfig, tables):
     """randomizer::getHole(noStack=false) (randomizer.cpp:38-45)."""
     u = _uniform(v.hole_key, v.hole_draws, None if tables is None else tables.hole)
     hole = (u * F32(cfg.width)).astype(I32)
@@ -106,106 +128,103 @@ def _draw_hole(v: PlayerState, cfg: EngineConfig, tables) -> tuple[PlayerState, 
 
 
 # ---------------------------------------------------------------------------
-# Garbage queue (Garbage.cpp) — fixed ring buffer over (CAP,) arrays
+# Garbage FIFO (Garbage.cpp) — front entry at slot 0, pops shift left
 # ---------------------------------------------------------------------------
 
-def _g_positions(cfg, v):
-    """Entry j (FIFO order) lives at ring slot (head + j) % CAP."""
-    j = jnp.arange(cfg.garbage_cap, dtype=I32)
-    slots = jnp.mod(v.g_head + j, cfg.garbage_cap)
-    live = j < v.g_size
-    return j, slots, live
-
-
 def garbage_count(cfg, v) -> jnp.ndarray:
-    _, slots, live = _g_positions(cfg, v)
-    return jnp.sum(jnp.where(live, v.g_count[slots], 0)).astype(I32)
+    live = jnp.arange(cfg.garbage_cap) < v.g_size
+    return jnp.sum(jnp.where(live, v.g_count, 0)).astype(I32)
+
+
+def _shift_left(arr, n):
+    """out[j] = arr[j + n] (zero fill) via a one-hot (CAP, CAP) select —
+    n is a small traced scalar."""
+    CAP = arr.shape[0]
+    j = jnp.arange(CAP)
+    sel = (j[None, :] == j[:, None] + n)          # (dst, src)
+    return jnp.sum(jnp.where(sel, arr[None, :], 0), axis=1, dtype=arr.dtype)
 
 
 def _garbage_add(cfg, v: PlayerState, amount) -> PlayerState:
     """GarbageHandler::add (Garbage.cpp:22-24).  If the ring is full the new
     lines merge into the newest entry (the reference vector is unbounded; at
-    CAP=32 pending entries the game is long since decided)."""
-    full = v.g_size >= cfg.garbage_cap
-    tail = jnp.mod(v.g_head + v.g_size, cfg.garbage_cap)
-    last = jnp.mod(v.g_head + v.g_size - 1, cfg.garbage_cap)
+    CAP pending entries the game is long decided)."""
+    CAP = cfg.garbage_cap
+    j = jnp.arange(CAP)
+    full = v.g_size >= CAP
+    tail = jnp.minimum(v.g_size, CAP - 1)
+    at_tail = j == tail
     delay = v.time_ms + cfg.garbage_initial_delay
-    g_count = jnp.where(
-        full,
-        v.g_count.at[last].add(amount),
-        v.g_count.at[tail].set(amount),
-    )
-    g_delay = jnp.where(full, v.g_delay, v.g_delay.at[tail].set(delay))
+    g_count = jnp.where(at_tail,
+                        jnp.where(full, v.g_count + amount, amount),
+                        v.g_count)
+    g_delay = jnp.where(at_tail & ~full, delay, v.g_delay)
     return v.replace(g_count=g_count, g_delay=g_delay,
-                     g_size=jnp.minimum(v.g_size + 1, cfg.garbage_cap))
+                     g_size=jnp.minimum(v.g_size + 1, CAP))
 
 
 def _garbage_block(cfg, v: PlayerState, amount, freeze: bool):
     """GarbageHandler::block (Garbage.cpp:26-52).  Returns (v', remainder)."""
+    CAP = cfg.garbage_cap
+    j = jnp.arange(CAP)
     empty0 = v.g_size == 0
-    j, slots, live = _g_positions(cfg, v)
-    counts = jnp.where(live, v.g_count[slots], 0)
+    live = j < v.g_size
+    counts = jnp.where(live, v.g_count, 0)
     csum = jnp.cumsum(counts)
     total = csum[-1]
     blocked = jnp.minimum(amount, total)
-    delay0 = v.g_delay[v.g_head]  # front delay before consumption
+    delay0 = v.g_delay[0]
     new_counts = jnp.clip(csum - blocked, 0, counts)
     n_popped = jnp.sum(live & (csum <= blocked)).astype(I32)
-    g_count = v.g_count.at[slots].set(jnp.where(live, new_counts, v.g_count[slots]))
-    head = jnp.mod(v.g_head + n_popped, cfg.garbage_cap)
+    g_count = _shift_left(jnp.where(live, new_counts, v.g_count), n_popped)
+    g_delay = _shift_left(v.g_delay, n_popped)
     size = v.g_size - n_popped
-    # Post-adjust the (new) front entry's delay (Garbage.cpp:44-49)
     nonempty = size > 0
-    fd = v.g_delay[head]
-    fd = jnp.maximum(delay0, fd)
+    fd = jnp.maximum(delay0, g_delay[0])
     if freeze:
         fd = jnp.minimum(fd + cfg.garbage_freeze_delay,
                          v.time_ms + v.g_min_remaining + cfg.garbage_freeze_delay)
-    g_delay = jnp.where(nonempty, v.g_delay.at[head].set(fd), v.g_delay)
+    g_delay = jnp.where((j == 0) & nonempty, fd, g_delay)
     g_min = jnp.where(nonempty, v.g_min_remaining, I32(cfg.garbage_initial_delay))
-    v = v.replace(
-        g_count=jnp.where(empty0, v.g_count, g_count),
-        g_delay=jnp.where(empty0, v.g_delay, g_delay),
-        g_head=jnp.where(empty0, v.g_head, head),
-        g_size=jnp.where(empty0, v.g_size, size),
-        g_min_remaining=jnp.where(empty0, v.g_min_remaining, g_min),
-        lines_blocked=v.lines_blocked + jnp.where(empty0, 0, blocked),
-    )
-    remainder = jnp.where(empty0, amount, amount - blocked)
-    return v, remainder
+    v2 = v.replace(
+        g_count=g_count, g_delay=g_delay, g_size=size, g_min_remaining=g_min,
+        lines_blocked=v.lines_blocked + blocked)
+    out = jax.tree.map(lambda a, b: jnp.where(empty0, a, b), v, v2)
+    return out, jnp.where(empty0, amount, amount - blocked)
 
 
 def _garbage_check(cfg, v: PlayerState):
-    """GarbageHandler::check (Garbage.cpp:54-72): pops one pending line when
+    """GarbageHandler::check (Garbage.cpp:54-72): pop one pending line when
     the front entry's delay lapses.  Returns (v', popped?)."""
+    CAP = cfg.garbage_cap
+    j = jnp.arange(CAP)
     t = v.time_ms
     empty = v.g_size == 0
-    front = v.g_head
-    fire = (~empty) & (t > v.g_delay[front])
-    chain_delay = v.g_delay[front] + cfg.garbage_add_delay
-    new_count = v.g_count[front] - 1
-    pop = fire & (new_count == 0)
-    g_count = jnp.where(fire, v.g_count.at[front].set(new_count), v.g_count)
-    head = jnp.where(pop, jnp.mod(front + 1, cfg.garbage_cap), front)
+    fire = (~empty) & (t > v.g_delay[0])
+    chain_delay = v.g_delay[0] + cfg.garbage_add_delay
+    new_front = v.g_count[0] - 1
+    pop = fire & (new_front == 0)
+    g_count = jnp.where(fire & (j == 0), new_front, v.g_count)
+    g_count = jnp.where(pop, _shift_left(g_count, I32(1)), g_count)
+    g_delay = jnp.where(pop, _shift_left(v.g_delay, I32(1)), v.g_delay)
     size = jnp.where(pop, v.g_size - 1, v.g_size)
     nonempty_after = size > 0
-    fd = jnp.maximum(chain_delay, v.g_delay[head])
-    g_delay = jnp.where(fire & nonempty_after, v.g_delay.at[head].set(fd), v.g_delay)
+    fd = jnp.maximum(chain_delay, g_delay[0])
+    g_delay = jnp.where(fire & nonempty_after & (j == 0), fd, g_delay)
     g_min = jnp.where(
         fire,
         jnp.where(nonempty_after, fd - t, I32(cfg.garbage_initial_delay)),
         jnp.where(empty, v.g_min_remaining,
-                  jnp.minimum(v.g_min_remaining, v.g_delay[front] - t)),
+                  jnp.minimum(v.g_min_remaining, v.g_delay[0] - t)),
     )
-    return v.replace(g_count=g_count, g_delay=g_delay, g_head=head, g_size=size,
+    return v.replace(g_count=g_count, g_delay=g_delay, g_size=size,
                      g_min_remaining=g_min), fire
 
 
 def _garbage_clear(cfg, v: PlayerState) -> PlayerState:
     return v.replace(
         g_count=jnp.zeros_like(v.g_count), g_delay=jnp.zeros_like(v.g_delay),
-        g_head=I32(0), g_size=I32(0),
-        g_min_remaining=I32(cfg.garbage_initial_delay))
+        g_size=I32(0), g_min_remaining=I32(cfg.garbage_initial_delay))
 
 
 # ---------------------------------------------------------------------------
@@ -213,31 +232,28 @@ def _garbage_clear(cfg, v: PlayerState) -> PlayerState:
 # ---------------------------------------------------------------------------
 
 def _combo_increase(cfg, v: PlayerState, amount) -> PlayerState:
-    """ComboCounter::increase (Combo.cpp:15-30).  amount <= 4 (a piece clears
-    at most 4 rows)."""
+    """ComboCounter::increase (Combo.cpp:15-30).  amount <= 4 (a piece
+    clears at most 4 rows); the lineTime accumulation is unrolled with the
+    reference's float order."""
     first = v.combo_count == 0
     start = jnp.where(first, v.time_ms, v.combo_start)
     ctime = jnp.where(first, I32(0), v.combo_time)
     cc = v.combo_count + 1
-
-    def body(i, carry):
-        lc, lt = carry
+    lc = v.combo_line_count
+    lt = F32(0)
+    for i in range(4):
         take = i < amount
         lc2 = lc + 1
         lt2 = lt + F32(cfg.combo_line_mult) / lc2.astype(F32)
-        return (jnp.where(take, lc2, lc), jnp.where(take, lt2, lt))
-
-    line_count, line_time = jax.lax.fori_loop(
-        0, 4, body, (v.combo_line_count, F32(0)))
+        lc = jnp.where(take, lc2, lc)
+        lt = jnp.where(take, lt2, lt)
     # comboTime += staticMultiplyer/comboCount (int div) + lineTime (float),
     # truncated back into the int32 comboTime (Combo.h: int32_t comboTime).
-    ctime = (ctime.astype(F32)
-             + (cfg.combo_static_mult // cc).astype(F32)
-             + line_time).astype(I32)
-    return v.replace(
-        combo_start=start, combo_time=ctime, combo_count=cc,
-        combo_line_count=line_count,
-        max_combo=jnp.maximum(v.max_combo, cc))
+    ctime = (ctime.astype(F32) + (cfg.combo_static_mult // cc).astype(F32)
+             + lt).astype(I32)
+    return v.replace(combo_start=start, combo_time=ctime, combo_count=cc,
+                     combo_line_count=lc,
+                     max_combo=jnp.maximum(v.max_combo, cc))
 
 
 def _combo_check(cfg, v: PlayerState):
@@ -263,8 +279,13 @@ def _combo_check(cfg, v: PlayerState):
 
 def _copy_piece(cfg, v: PlayerState, np_) -> PlayerState:
     """GamePlay::copyPiece (gamePlay.cpp:84-88)."""
-    return v.replace(piece=np_, rot=SPAWN_ROT[np_],
+    rot = _spawn_rot(np_)
+    return v.replace(piece=np_, rot=rot, cur_rows=K.lookup_rows(np_, rot),
                      px=I32((cfg.width - 4) // 2), py=I32(0))
+
+
+def _piece_map(cfg, raw):
+    return _select7(raw, tuple(int(x) for x in cfg.piece_map))
 
 
 def _make_new_piece(cfg, v: PlayerState, tables):
@@ -273,11 +294,10 @@ def _make_new_piece(cfg, v: PlayerState, tables):
     (the blocking piece is still drawn into the field)."""
     v = _copy_piece(cfg, v, v.nextpiece)
     v, raw = _draw_piece(v, tables)
-    pmap = jnp.asarray(cfg.piece_map, dtype=I32)
-    v = v.replace(nextpiece=pmap[raw])
-    ext = K.ext_board_padded(cfg, v.occ)
-    ok = K.possible(cfg, ext, v.piece, v.rot, v.px, v.py)
-    occ_dead = K.add_piece(cfg, v.occ, v.piece, v.rot, v.px, v.py)
+    v = v.replace(nextpiece=_piece_map(cfg, raw))
+    ext = K.ext_board(cfg, v.occ)
+    ok = K.possible(cfg, ext, v.cur_rows, v.px, v.py)
+    occ_dead = K.add_piece(cfg, v.occ, v.cur_rows, v.px, v.py)
     v = v.replace(occ=jnp.where(ok, v.occ, occ_dead))
     return v, ~ok
 
@@ -300,10 +320,10 @@ def _send_lines(cfg, v: PlayerState, n_cleared, n_garb):
 def _hd_make(cfg, v: PlayerState) -> PlayerState:
     """GamePlay::hd_make (gamePlay.cpp:48-52): drop, lock into board, reset
     gravity timer."""
-    ext = K.ext_board_padded(cfg, v.occ)
-    d = K.drop_distance(cfg, ext, v.piece, v.rot, v.px, v.py)
+    ext = K.ext_board(cfg, v.occ)
+    d = K.drop_distance(cfg, ext, v.cur_rows, v.px, v.py)
     py = v.py + d
-    occ = K.add_piece(cfg, v.occ, v.piece, v.rot, v.px, py)
+    occ = K.add_piece(cfg, v.occ, v.cur_rows, v.px, py)
     return v.replace(py=py, occ=occ, drop_delay_time=v.time_ms, lockdown=False)
 
 
@@ -325,8 +345,8 @@ def _hd_full(cfg, v: PlayerState, tables):
 def _game_mdown(cfg, v: PlayerState):
     """GamePlay::mDown (gamePlay.cpp:61-69): on success reset the gravity
     timer; on failure start the 400 ms lockdown countdown."""
-    ext = K.ext_board_padded(cfg, v.occ)
-    ok, px, py = K.try_move(cfg, ext, v.piece, v.rot, v.px, v.py, 0, 1)
+    ext = K.ext_board(cfg, v.occ)
+    ok, px, py = K.try_move(cfg, ext, v.cur_rows, v.px, v.py, 0, 1)
     ddt = jnp.where(ok, v.time_ms, v.drop_delay_time)
     # dropDelay.set only (re)arms the timer if not already in lockdown
     lt = jnp.where(ok, v.lockdown_time,
@@ -343,8 +363,8 @@ def _push_garbage(cfg, v: PlayerState, tables):
     occ, garb = K.add_garbage_line(cfg, v.occ, v.garb, hole)
     v = v.replace(occ=occ, garb=garb)
     py1 = jnp.where(v.py > 0, v.py - 1, v.py)
-    ext = K.ext_board_padded(cfg, occ)
-    ok = K.possible(cfg, ext, v.piece, v.rot, v.px, py1)
+    ext = K.ext_board(cfg, occ)
+    ok = K.possible(cfg, ext, v.cur_rows, v.px, py1)
     died = (~ok) & (py1 <= 0)
     py2 = jnp.where((~ok) & (py1 > 0), py1 - 1, py1)
     return v.replace(py=py2), died
@@ -372,41 +392,43 @@ def _delay_check(cfg, v: PlayerState, dt, tables):
                   incr_dd_time=jnp.where(speedup, t, v.incr_dd_time))
     gravity = (t - v.drop_delay_time) > dd
     v = v.replace(drop_delay_time=jnp.where(gravity, t, v.drop_delay_time))
-    v = jax.lax.cond(gravity, lambda x: _game_mdown(cfg, x)[0], lambda x: x, v)
+    vg, _ = _game_mdown(cfg, v)
+    v = jax.tree.map(lambda a, b: jnp.where(gravity, b, a), v, vg)
 
     # Lockdown (DropDelay.cpp:43-48): one more mDown attempt, else hard drop
     lock_fire = v.lockdown & (t > v.lockdown_time)
-    CONT = I32(-(1 << 20))  # sentinel: "no early return"
+    vl, moved = _game_mdown(cfg, v)
+    vh, hd_sent = _hd_full(cfg, vl, tables)
+    do_hd = lock_fire & ~moved
+    v = jax.tree.map(
+        lambda a, b, c: jnp.where(do_hd, c, jnp.where(lock_fire, b, a)),
+        v, vl, vh)
+    # early return skips the garbage/combo block below
+    early = do_hd
 
-    def on_lock(x):
-        x, moved = _game_mdown(cfg, x)
-        return jax.lax.cond(moved, lambda y: (y, CONT),
-                            lambda y: _hd_full(cfg, y, tables), x)
+    # --- the rest of delayCheck (skipped when early) -----------------------
+    x = v
+    add_g = jnp.floor(x.incoming_lines).astype(I32)
+    x = x.replace(incoming_lines=x.incoming_lines - add_g.astype(F32))
+    xa = _garbage_add(cfg, x, add_g)
+    x = jax.tree.map(lambda a, b: jnp.where(add_g > 0, b, a), x, xa)
 
-    v, early = jax.lax.cond(lock_fire, on_lock, lambda x: (x, CONT), v)
+    x, combo_sent = _combo_check(cfg, x)
+    xp, rem = _garbage_block(cfg, x, combo_sent, freeze=False)
+    xp = xp.replace(lines_sent=xp.lines_sent + rem)
+    pay = combo_sent > 0
+    x = jax.tree.map(lambda a, b: jnp.where(pay, b, a), x, xp)
+    sent = jnp.where(pay, rem, 0)
 
-    def rest(x):
-        # incoming float lines -> queued garbage (gamePlay.cpp:97-102)
-        add_g = jnp.floor(x.incoming_lines).astype(I32)
-        x = x.replace(incoming_lines=x.incoming_lines - add_g.astype(F32))
-        x = jax.lax.cond(add_g > 0, lambda y: _garbage_add(cfg, y, add_g),
-                         lambda y: y, x)
-        # combo payout -> blocked by pending garbage, remainder sent
-        x, combo_sent = _combo_check(cfg, x)
+    x, popped = _garbage_check(cfg, x)
+    xg, died_g = _push_garbage(cfg, x, tables)
+    x = jax.tree.map(lambda a, b: jnp.where(popped, b, a), x, xg)
+    died = popped & died_g
+    rest_ret = jnp.where(died, I32(-1), sent)
 
-        def pay(y):
-            y, rem = _garbage_block(cfg, y, combo_sent, freeze=False)
-            return y.replace(lines_sent=y.lines_sent + rem), rem
-
-        x, sent = jax.lax.cond(combo_sent > 0, pay, lambda y: (y, I32(0)), x)
-        # garbage landing (one line per tick, gamePlay.cpp:110-111)
-        x, popped = _garbage_check(cfg, x)
-        x, died = jax.lax.cond(popped, lambda y: _push_garbage(cfg, y, tables),
-                               lambda y: (y, jnp.bool_(False)), x)
-        return x, jnp.where(died, I32(-1), sent)
-
-    v, ret = jax.lax.cond(early != CONT, lambda x: (x, early), rest, v)
-    return v, ret
+    v_out = jax.tree.map(lambda a, b: jnp.where(early, a, b), v, x)
+    ret = jnp.where(early, hd_sent, rest_ret)
+    return v_out, ret
 
 
 # ---------------------------------------------------------------------------
@@ -419,42 +441,46 @@ def apply_macro(cfg, v: PlayerState, r, tr) -> PlayerState:
     tr steps right, hard drop (lock only — line resolution happens in the
     finish phase).  Board is unchanged until the final lock, so the extended
     board is computed once."""
-    ext = K.ext_board_padded(cfg, v.occ)
-    rot, px, py = v.rot, v.px, v.py
+    ext = K.ext_board(cfg, v.occ)
+    rot, px, py, rows = v.rot, v.px, v.py, v.cur_rows
     for k in range(3):  # r <= 3
         do = k < r
-        _, rot2, px2, py2 = K.try_rotate(cfg, ext, v.piece, rot, px, py, 1)
+        _, rot2, px2, py2, rows2 = K.try_rotate(
+            cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows)
         rot = jnp.where(do, rot2, rot)
         px = jnp.where(do, px2, px)
         py = jnp.where(do, py2, py)
-    px = px - K.slide_distance(cfg, ext, v.piece, rot, px, py, -1)
-    px = px + jnp.minimum(tr, K.slide_distance(cfg, ext, v.piece, rot, px, py, +1))
-    v = v.replace(rot=rot, px=px, py=py)
+        rows = jnp.where(do, rows2, rows)
+    px = px - K.slide_distance(cfg, ext, rows, px, py, -1)
+    px = px + jnp.minimum(tr, K.slide_distance(cfg, ext, rows, px, py, +1))
+    v = v.replace(rot=rot, px=px, py=py, cur_rows=rows)
     return _hd_make(cfg, v)
 
 
 def apply_key(cfg, v: PlayerState, key) -> PlayerState:
     """Raw key-code dispatch (PythonHandle.cpp:73-112; codes documented at
-    PythonHandle.h:20-31).  Used by the press_key action type and by parity
-    tests against recorded key streams."""
-    ext = K.ext_board_padded(cfg, v.occ)
+    PythonHandle.h:20-31).  Used by the press_key action type and parity
+    tests; not a hot path (lax.switch per key)."""
+    ext = K.ext_board(cfg, v.occ)
 
     def mv(dx, dy):
         def f(x):
-            _, px, py = K.try_move(cfg, ext, x.piece, x.rot, x.px, x.py, dx, dy)
+            _, px, py = K.try_move(cfg, ext, x.cur_rows, x.px, x.py, dx, dy)
             return x.replace(px=px, py=py)
         return f
 
     def far(direction):
         def f(x):
-            d = K.slide_distance(cfg, ext, x.piece, x.rot, x.px, x.py, direction)
+            d = K.slide_distance(cfg, ext, x.cur_rows, x.px, x.py, direction)
             return x.replace(px=x.px + direction * d)
         return f
 
     def rot(turns):
         def f(x):
-            _, r2, px2, py2 = K.try_rotate(cfg, ext, x.piece, x.rot, x.px, x.py, turns)
-            return x.replace(rot=r2, px=px2, py=py2)
+            _, r2, px2, py2, rows2 = K.try_rotate(
+                cfg, ext, x.piece, x.rot, x.px, x.py, turns,
+                cur_rows=x.cur_rows)
+            return x.replace(rot=r2, px=px2, py=py2, cur_rows=rows2)
         return f
 
     def mdown(x):
@@ -462,8 +488,8 @@ def apply_key(cfg, v: PlayerState, key) -> PlayerState:
 
     def far_down(x):
         # 'while (mDown());' — ends with one failing mDown => lockdown armed
-        ext2 = K.ext_board_padded(cfg, x.occ)
-        d = K.drop_distance(cfg, ext2, x.piece, x.rot, x.px, x.py)
+        ext2 = K.ext_board(cfg, x.occ)
+        d = K.drop_distance(cfg, ext2, x.cur_rows, x.px, x.py)
         x = x.replace(
             py=x.py + d,
             drop_delay_time=jnp.where(d > 0, x.time_ms, x.drop_delay_time),
@@ -512,23 +538,47 @@ def _restart_round(cfg, v: PlayerState) -> PlayerState:
 
 
 def _seed_round(cfg, v: PlayerState, piece_key, hole_key, tables) -> PlayerState:
-    """GamePlay::seed (gamePlay.cpp:218-230): fresh streams, spawn two pieces,
-    rerolling the bag while the first would be S/Z (unless the piece set is
-    S/Z-only)."""
+    """GamePlay::seed (gamePlay.cpp:218-230), evaluated in closed form.
+
+    The reference loop is: reset bag; spawn (draw 0); while next is S/Z:
+    reset bag, redraw; final spawn (one more draw).  Because the bag is
+    RESET before every reroll, candidate i is a single draw from a fresh
+    bag — an independent function of uniform u_i — so the loop collapses to
+    'first acceptable candidate' over a precomputed draw window, with the
+    final state depending only on (u_k, u_{k+1}).  The board is empty at
+    seed time, so spawn-blocked death is impossible and the field checks of
+    makeNewPiece vanish."""
     v = v.replace(piece_key=piece_key, hole_key=hole_key,
-                  piece_draws=I32(0), hole_draws=I32(0))
-    v = _rander_reset(v)
-    v, _ = _make_new_piece(cfg, v, tables)
-    if not cfg.only_zs:
-        def body(_, x):
-            bad = (x.nextpiece == 2) | (x.nextpiece == 3)
-            def reroll(y):
-                y = _rander_reset(y)
-                y, _ = _make_new_piece(cfg, y, tables)
-                return y
-            return jax.lax.cond(bad, reroll, lambda y: y, x)
-        v = jax.lax.fori_loop(0, cfg.max_seed_rerolls, body, v)
-    v, _ = _make_new_piece(cfg, v, tables)
+                  piece_draws=I32(0), hole_draws=I32(0),
+                  cogp=jnp.full((7,), F32(_COGP_FRESH)),
+                  lasthole=I32(20))
+    R = cfg.max_seed_rerolls
+    tab = None if tables is None else tables.piece
+    us = [_uniform(piece_key, I32(i), tab) for i in range(R + 2)]
+    fresh = jnp.full((7,), F32(_COGP_FRESH))
+    cands = [_choose_from_bag(fresh, us[i]) for i in range(R + 1)]
+    mapped = [_piece_map(cfg, c) for c in cands]
+    if cfg.only_zs:
+        k = I32(0)
+    else:
+        oks = jnp.stack([~((m == 2) | (m == 3)) for m in mapped])
+        any_ok = jnp.any(oks)
+        k = jnp.where(any_ok, jnp.argmax(oks).astype(I32), I32(R))
+    # select the accepted candidate and its successor uniform
+    cand_k = I32(0)
+    piece_k = I32(0)
+    u_next = F32(0)
+    for i in range(R + 1):
+        sel = k == i
+        cand_k = jnp.where(sel, cands[i], cand_k)
+        piece_k = jnp.where(sel, mapped[i], piece_k)
+        u_next = jnp.where(sel, us[i + 1], u_next)
+    cogp1 = _bag_update(fresh, cand_k)
+    cand_next = _choose_from_bag(cogp1, u_next)
+    cogp2 = _bag_update(cogp1, cand_next)
+    v = v.replace(nextpiece=piece_k, cogp=cogp2, piece_draws=k + 2)
+    v = _copy_piece(cfg, v, piece_k)
+    v = v.replace(nextpiece=_piece_map(cfg, cand_next))
     return v
 
 

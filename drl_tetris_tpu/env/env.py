@@ -52,7 +52,9 @@ class EnvConfig:
 class EnvState:
     engine: EngineState        # batched: every leaf has leading dim (N,)
     current_player: jnp.ndarray  # (N,) int32 — whose turn it is NOW
-    key: jnp.ndarray           # PRNG key for auto-reset reseeding
+    key: jnp.ndarray           # (N, 2) per-game PRNG keys (auto-reset
+                               # reseeding); per-game so every leaf of this
+                               # pytree shards over the games axis
     rounds_played: jnp.ndarray  # (N,) int32
 
 
@@ -86,7 +88,8 @@ class TetrisVectorEnv:
         eng = jax.vmap(lambda k: S.init(self.cfg.engine, k))(keys)
         # worker.py:84-87: initial current player random per game
         player = jax.random.randint(kplayer, (self.n_games,), 0, 2)
-        return EnvState(engine=eng, current_player=player, key=knext,
+        return EnvState(engine=eng, current_player=player,
+                        key=jax.random.split(knext, self.n_games),
                         rounds_played=jnp.ones((self.n_games,), jnp.int32))
 
     # -- core step ---------------------------------------------------------
@@ -115,8 +118,8 @@ class TetrisVectorEnv:
         reward = _reward(cfg, eng, player, done)
 
         # auto-reset finished games (worker.py:157-166 reset_envs)
-        key, kreset = jax.random.split(state.key)
-        reset_keys = jax.random.split(kreset, N)
+        both = jax.vmap(lambda k: jax.random.split(k))(state.key)  # (N, 2, 2)
+        key, reset_keys = both[:, 0], both[:, 1]
         eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
         eng = jax.tree.map(
             lambda a, b: jnp.where(

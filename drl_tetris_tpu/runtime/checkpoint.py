@@ -1,0 +1,81 @@
+"""Checkpoint / resume with recovery validation.
+
+The reference persists (1) numbered weight pickles
+(models/<run-id>/weights{N,LATEST,FINAL}.w + a settings side-file,
+sventon_agent_base.py:116-129, tools/utils.py:74-86; numbered every 250
+publishes, trainer.py:113-123) and (2) a dill'd [env, agent] blob in Redis,
+with (3) an md5 checksum proving a restored worker reproduces bit-identical
+NN outputs (runner.py:61-120, worker.py:58-69).
+
+Here all three collapse into orbax checkpoints of explicit pytrees
+(params / opt state / env state / PRNG keys are all just arrays) plus the
+same checksum validation, which becomes trivial because the whole system is
+deterministic given its state.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+NUMBERED_EVERY = 250  # trainer.py:113-123 save cadence
+
+
+def _mgr(directory: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=None),
+    )
+
+
+def save(directory: str, step: int, state: Any,
+         settings: Optional[dict] = None) -> None:
+    """Save a checkpoint; also drops the run settings side-file next to the
+    weights like the reference does (sventon_agent_base.py:128-129)."""
+    os.makedirs(directory, exist_ok=True)
+    with _mgr(directory) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+    if settings is not None:
+        with open(os.path.join(directory, "settings.json"), "w") as f:
+            json.dump({k: repr(v) for k, v in settings.items()}, f, indent=1)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    with _mgr(directory) as mgr:
+        return mgr.latest_step()
+
+
+def restore(directory: str, target: Any, step: Optional[int] = None) -> Any:
+    with _mgr(directory) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {directory}")
+        return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+def pytree_checksum(tree: Any) -> str:
+    """md5 over every leaf's bytes — the recovery-validation artifact
+    (runner.py:119-120 md5-of-dill, exact here because state is explicit)."""
+    h = hashlib.md5()
+    for leaf in jax.tree.leaves(tree):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
+def validate_recovery(compute_fn, restored_state, expected_checksum: str):
+    """runner.validate_runner (runner.py:90-104): recompute the recorded
+    computation from the restored state and require a bit-identical result."""
+    out = compute_fn(restored_state)
+    got = pytree_checksum(out)
+    if got != expected_checksum:
+        raise RuntimeError(
+            f"recovery validation failed: checksum {got} != {expected_checksum}")
+    return True

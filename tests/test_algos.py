@@ -1,0 +1,155 @@
+"""Tests for GAE, replay, distributions, and the PPO/DQN updates."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drl_tetris_tpu.algos.gae import sventon_gae
+from drl_tetris_tpu.algos import replay as R
+from drl_tetris_tpu.algos import distributions as D
+
+
+def reference_gae_loop(r, d, vp, vm, gamma, lam, gve):
+    """Literal numpy replica of sventon_trajectory.adv_and_targets
+    (trajectory.py:111-141) with the actual argument swap, applied to one
+    completed trajectory (d[-1] == 1)."""
+    n = len(r)
+    v_next = np.zeros(n)
+    v_next[:-1] = vp[1:]
+    td1s = r + gamma * v_next * (1 - d) - vp
+
+    def compute(lam_v):
+        est = np.zeros(n)
+        A, W = 0.0, 0.0
+        for i, td in reversed(list(enumerate(td1s))):
+            A *= gamma * lam_v
+            W *= lam_v
+            A += td
+            W += 1
+            est[i] = (A + vp[i] - vm[i]) / W
+        return est
+
+    adv = compute(lam)
+    val_adj = compute(gve)
+    return adv, vm + val_adj
+
+
+def test_gae_matches_reference_loop():
+    rng = np.random.RandomState(0)
+    T = 23
+    r = np.zeros(T); r[-1] = 1.0
+    d = np.zeros(T); d[-1] = 1
+    vp = rng.randn(T) * 0.3
+    vm = rng.randn(T) * 0.3
+    gamma, lam, gve = -0.98, 0.7, 0.95
+    ref_adv, ref_tgt = reference_gae_loop(r, d, vp, vm, gamma, lam, gve)
+
+    adv, tgt, _ = sventon_gae(
+        jnp.asarray(r)[:, None], jnp.asarray(d)[:, None],
+        jnp.asarray(vp)[:, None], jnp.asarray(vm)[:, None],
+        jnp.zeros((1,)), gamma=gamma, gae_lambda=lam, gve_lambda=gve)
+    np.testing.assert_allclose(np.asarray(adv)[:, 0], ref_adv, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt)[:, 0], ref_tgt, rtol=1e-5)
+
+
+def test_gae_resets_across_done():
+    """Two back-to-back trajectories in one segment must produce the same
+    estimates as processing them separately."""
+    rng = np.random.RandomState(1)
+    T1, T2 = 9, 14
+    gamma, lam, gve = -0.98, 0.7, 0.95
+    segs = []
+    for T in (T1, T2):
+        r = np.zeros(T); r[-1] = rng.choice([-1.0, 1.0])
+        d = np.zeros(T); d[-1] = 1
+        vp, vm = rng.randn(T) * 0.2, rng.randn(T) * 0.2
+        segs.append((r, d, vp, vm))
+    cat = lambda i: np.concatenate([s[i] for s in segs])
+    adv, tgt, _ = sventon_gae(
+        jnp.asarray(cat(0))[:, None], jnp.asarray(cat(1))[:, None],
+        jnp.asarray(cat(2))[:, None], jnp.asarray(cat(3))[:, None],
+        jnp.zeros((1,)), gamma=gamma, gae_lambda=lam, gve_lambda=gve)
+    ref = [reference_gae_loop(*s, gamma, lam, gve) for s in segs]
+    ref_adv = np.concatenate([ra for ra, _ in ref])
+    ref_tgt = np.concatenate([rt for _, rt in ref])
+    np.testing.assert_allclose(np.asarray(adv)[:, 0], ref_adv, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt)[:, 0], ref_tgt, rtol=1e-5)
+
+
+def _dummy_segment(T, N, H=22, seed=0):
+    from drl_tetris_tpu.algos.rollout import Segment
+    rng = np.random.RandomState(seed)
+    j = jnp.asarray
+    return Segment(
+        occ=j(rng.randint(0, 2**10, size=(T, N, 2, H)).astype(np.uint32)),
+        vec=j(rng.rand(T, N, 2, 12).astype(np.float32)),
+        piece=j(rng.randint(0, 7, (T, N)).astype(np.int32)),
+        rot=j(rng.randint(0, 4, (T, N)).astype(np.int32)),
+        trans=j(rng.randint(0, 10, (T, N)).astype(np.int32)),
+        prob=j(rng.rand(T, N).astype(np.float32)),
+        v_piece=j(rng.randn(T, N).astype(np.float32)),
+        v_mean=j(rng.randn(T, N).astype(np.float32)),
+        reward=j(np.zeros((T, N), np.float32)),
+        done=j(rng.rand(T, N) < 0.05),
+        player=j(rng.randint(0, 2, (T, N)).astype(np.int32)),
+    )
+
+
+def test_replay_insert_and_windows():
+    cfg = R.ReplayConfig(capacity=1000, k_step=3)
+    st = R.replay_init(cfg)
+    T, N = 20, 4
+    seg = _dummy_segment(T, N)
+    st = R.replay_add_segment(cfg, st, seg, T)
+    assert int(st.size) == T * N
+    # env-major layout: replay rows 0..T-1 == env 0's run in time order
+    np.testing.assert_array_equal(
+        np.asarray(st.reward[:T]), np.asarray(seg.reward[:, 0]))
+    # last k_step of each run are unsampleable
+    prio = np.asarray(st.prio[: T * N]).reshape(N, T)
+    assert (prio[:, -cfg.k_step:] == 0).all()
+    assert (prio[:, : -cfg.k_step] == 2).all()
+    # windows are consecutive rows
+    idx = jnp.asarray([5, T + 2])
+    win = R.replay_gather_windows(cfg, st, idx)
+    np.testing.assert_array_equal(
+        np.asarray(win["reward"][0]), np.asarray(seg.reward[5:9, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(win["reward"][1]), np.asarray(seg.reward[2:6, 1]))
+
+
+def test_replay_prioritized_sampling_bias():
+    cfg = R.ReplayConfig(capacity=512, k_step=1)
+    st = R.replay_init(cfg)
+    T, N = 64, 4
+    st = R.replay_add_segment(cfg, st, _dummy_segment(T, N), T)
+    # crank one index's priority way up
+    st = R.replay_update_prios(st, jnp.asarray([10]), jnp.asarray([1000.0]))
+    counts = 0
+    for s in range(20):
+        idx, iw = R.replay_sample(cfg, st, jax.random.PRNGKey(s), 8, 1.0, 1.0)
+        counts += int((np.asarray(idx) == 10).sum())
+        assert np.all(np.asarray(iw) >= 0) and np.all(np.asarray(iw) <= 1.0 + 1e-6)
+        # no-replacement: indices unique
+        assert len(set(np.asarray(idx).tolist())) == 8
+    assert counts >= 18, f"high-prio index sampled only {counts}/20 times"
+
+
+def test_distribution_sampling_matches_probs():
+    key = jax.random.PRNGKey(0)
+    p = np.zeros((1, 2, 3), np.float32)
+    p[0, 1, 2] = 0.9
+    p[0, 0, 0] = 0.1
+    hits = 0
+    for i in range(100):
+        (r, t), _ = D.action_distribution(jnp.asarray(p), jax.random.fold_in(key, i))
+        if int(r[0]) == 1 and int(t[0]) == 2:
+            hits += 1
+    assert 75 <= hits <= 100
+
+
+def test_pareto_distribution():
+    p = D.pareto(jnp.asarray([1.0, 5.0, 3.0]), 2.0)
+    p = np.asarray(p)
+    order = np.argsort(-p)
+    np.testing.assert_array_equal(order, [1, 2, 0])
+    assert abs(p.sum() - 1) < 1e-6

@@ -70,8 +70,9 @@ def test_piece_position_legal():
         for i in range(CFG.n_players):
             if bool(ps.dead[i]):
                 continue
-            ext = K.ext_board_padded(CFG, ps.occ[i])
-            ok = K.possible(CFG, ext, ps.piece[i], ps.rot[i], ps.px[i], ps.py[i])
+            ext = K.ext_board(CFG, ps.occ[i])
+            rows = K.lookup_rows(ps.piece[i], ps.rot[i])
+            ok = K.possible(CFG, ext, rows, ps.px[i], ps.py[i])
             assert bool(ok), f"player {i} piece embedded in stack"
 
 
@@ -153,8 +154,10 @@ def test_line_clear_and_send():
     # I piece rot 0 occupies grid column 1 => cells at px+1.
     occ = np.zeros((2, H), np.uint32)
     occ[0, H - 1] = CFG.full_row & ~(1 << 4)
+    rows = jnp.stack([K.lookup_rows(jnp.int32(4), jnp.int32(0))] * 2)
     ps = ps.replace(occ=jnp.asarray(occ),
                     piece=jnp.array([4, 4]), rot=jnp.array([0, 0]),
+                    cur_rows=rows,
                     px=jnp.array([3, 3]), py=jnp.array([0, 0]))
     st = st.replace(players=ps)
     use = jnp.array([True, False])
@@ -183,8 +186,10 @@ def test_garbage_transfer():
     # two full-except-one-column rows at the bottom for player 0
     for row in (H - 1, H - 2):
         occ[0, row] = CFG.full_row & ~(1 << 4)
+    rows = jnp.stack([K.lookup_rows(jnp.int32(4), jnp.int32(0))] * 2)
     ps = ps.replace(occ=jnp.asarray(occ),
                     piece=jnp.array([4, 4]), rot=jnp.array([0, 0]),
+                    cur_rows=rows,
                     px=jnp.array([3, 3]), py=jnp.array([0, 0]))
     st = st.replace(players=ps)
     # vertical I at px=3 occupies x=4 => fills the holes of both rows
