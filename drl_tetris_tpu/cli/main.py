@@ -1,0 +1,237 @@
+"""Command-line entry points.
+
+Replaces the reference's scripts layer (scripts/trainer_runscript.py,
+worker_runscript.py, eval.py, print_settings.py):
+
+  python -m drl_tetris_tpu train        # standalone self-play training
+  python -m drl_tetris_tpu train --distributed   # mesh actor-learner
+  python -m drl_tetris_tpu eval CKPT [CKPT...]   # round-robin tournament
+  python -m drl_tetris_tpu play [CKPT]           # watch games (ANSI render)
+  python -m drl_tetris_tpu print-config          # resolved settings dump
+  python -m drl_tetris_tpu bench                 # env throughput benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--presets", nargs="*", default=[
+        "default", "sventon", "sventon_ppo", "resblock",
+        "experiment_sventon_ppo"],
+        help="preset layering, applied in order (tools/utils.py:34-45)")
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="overrides, e.g. --set gamma=0.99 minibatch_size=128")
+    p.add_argument("--run-id", default="run")
+    p.add_argument("--data-dir", default="data")
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for kv in pairs:
+        k, _, v = kv.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def _load_cfg(args):
+    from drl_tetris_tpu.config.presets import load
+    return load(args.presets, _parse_overrides(args.set), run_id=args.run_id)
+
+
+def cmd_train(args):
+    import jax
+    from drl_tetris_tpu.utils.metrics import MetricsWriter, timekeeper
+    from drl_tetris_tpu.runtime import checkpoint as ckpt
+
+    cfg = _load_cfg(args)
+    ckpt_dir = os.path.join(args.data_dir, "models", cfg.run_id)
+    metrics_dir = os.path.join(args.data_dir, "summaries")
+
+    if args.distributed:
+        from drl_tetris_tpu.parallel.mesh import (
+            DistributedConfig, DistributedTrainer, make_mesh)
+        mesh = make_mesh()
+        dcfg = DistributedConfig(
+            env=cfg.env, model=cfg.model, ppo=cfg.ppo,
+            n_envs=args.n_envs or 4096, horizon=args.horizon)
+        tr = DistributedTrainer(dcfg, mesh)
+        state, env_state = tr.init(jax.random.PRNGKey(args.seed))
+        steps_per_iter = dcfg.n_envs * dcfg.horizon
+        with MetricsWriter(metrics_dir, cfg.run_id) as mw:
+            total = 0
+            it = 0
+            key = jax.random.PRNGKey(args.seed + 1)
+            while total < args.steps:
+                key, k = jax.random.split(key)
+                with timekeeper.section("train_step"):
+                    state, env_state, stats = tr.train_step(state, env_state, k)
+                    jax.block_until_ready(stats)
+                total += steps_per_iter
+                it += 1
+                mw.update({k2: float(v) for k2, v in stats.items()}, total)
+                if it % args.log_every == 0:
+                    print(f"[{total:>12,} steps] " + "  ".join(
+                        f"{k2.split('/')[-1]}={float(v):.4f}"
+                        for k2, v in list(stats.items())[:4]), flush=True)
+                if it % args.save_every == 0:
+                    ckpt.save(ckpt_dir, total, state, settings=cfg.settings)
+            ckpt.save(ckpt_dir, total, state, settings=cfg.settings)
+        print(timekeeper.table())
+        return
+
+    if cfg.flavour == "dqn":
+        from drl_tetris_tpu.runtime.standalone import (
+            StandaloneDQNConfig, StandaloneDQNTrainer)
+        scfg = StandaloneDQNConfig(
+            env=cfg.env, model=cfg.model, dqn=cfg.dqn, replay=cfg.replay,
+            n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+            train_distribution=cfg.train_distribution, seed=args.seed)
+        tr = StandaloneDQNTrainer(scfg)
+    else:
+        from drl_tetris_tpu.runtime.standalone import (
+            StandaloneConfig, StandaloneTrainer)
+        scfg = StandaloneConfig(
+            env=cfg.env, model=cfg.model, ppo=cfg.ppo,
+            n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+            seed=args.seed)
+        tr = StandaloneTrainer(scfg)
+
+    steps_per_iter = scfg.n_envs * scfg.horizon
+    with MetricsWriter(metrics_dir, cfg.run_id) as mw:
+        it = 0
+        while tr.total_steps < args.steps:
+            t0 = time.time()
+            with timekeeper.section("train_iteration"):
+                stats = tr.train_iteration()
+            it += 1
+            if stats:
+                mw.update(stats, tr.total_steps)
+            if it % args.log_every == 0:
+                sps = steps_per_iter / max(time.time() - t0, 1e-9)
+                head = "  ".join(f"{k.split('/')[-1]}={v:.4f}"
+                                 for k, v in list(stats.items())[:4])
+                print(f"[{tr.total_steps:>12,} steps] {sps:,.0f} sps  {head}",
+                      flush=True)
+            if it % args.save_every == 0:
+                ckpt.save(ckpt_dir, tr.total_steps, tr.state,
+                          settings=cfg.settings)
+        ckpt.save(ckpt_dir, tr.total_steps, tr.state, settings=cfg.settings)
+    print(timekeeper.table())
+
+
+def _load_agent(path, cfg, name=None):
+    import jax
+    import jax.numpy as jnp
+    from drl_tetris_tpu.models.nets import PPONet
+    from drl_tetris_tpu.runtime import checkpoint as ckpt
+    from drl_tetris_tpu.runtime.evaluate import EvalAgent
+    from drl_tetris_tpu.runtime.standalone import StandaloneConfig, StandaloneTrainer
+
+    net = PPONet(cfg.model, full_network=True)
+    H, W = cfg.env.engine.height, cfg.env.engine.width
+    params = net.init(jax.random.PRNGKey(0),
+                      [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+    if path != "random":
+        # checkpoints store the full train state; restore and take params
+        from drl_tetris_tpu.algos.ppo import make_ppo_update
+        init_opt, _ = make_ppo_update(cfg.env.engine, net, cfg.ppo)
+        target = init_opt(params)
+        state = ckpt.restore(path, target)
+        params = state.params
+    return EvalAgent(name=name or os.path.basename(path.rstrip("/")),
+                     params=params, net=net,
+                     distribution=cfg.eval_distribution)
+
+
+def cmd_eval(args):
+    from drl_tetris_tpu.runtime.evaluate import round_robin
+    cfg = _load_cfg(args)
+    agents = [_load_agent(p, cfg) for p in args.checkpoints]
+    if len(agents) == 1:
+        agents.append(_load_agent("random", cfg, name="random"))
+    board = round_robin(cfg.env, agents, games_per_pair=args.games,
+                        seed=args.seed, render=args.render)
+    print(board.score_table())
+
+
+def cmd_play(args):
+    import jax
+    from drl_tetris_tpu.runtime.evaluate import play_match
+    cfg = _load_cfg(args)
+    a = _load_agent(args.checkpoint or "random", cfg, name="A")
+    b = _load_agent(args.checkpoint or "random", cfg, name="B")
+    play_match(cfg.env, (a, b), n_games=1, seed=args.seed, render=True)
+
+
+def cmd_print_config(args):
+    cfg = _load_cfg(args)
+    print(f"# presets: {args.presets}")
+    for section in ("env", "model", "ppo", "dqn", "replay"):
+        print(f"\n[{section}]")
+        print(dataclasses.asdict(getattr(cfg, section)))
+    print("\n[merged settings]")
+    for k in sorted(cfg.settings):
+        print(f"  {k:<36} {cfg.settings[k]!r}")
+
+
+def cmd_bench(args):
+    import subprocess
+    sys.exit(subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "..",
+                                      "bench.py"),
+         str(args.n_envs or 4096), str(args.iters)]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="drl_tetris_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="self-play training")
+    _add_common(t)
+    t.add_argument("--steps", type=int, default=10_000_000)
+    t.add_argument("--n-envs", type=int, default=0)
+    t.add_argument("--horizon", type=int, default=72)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=1)
+    t.add_argument("--save-every", type=int, default=50)
+    t.add_argument("--distributed", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="round-robin tournament between checkpoints")
+    _add_common(e)
+    e.add_argument("checkpoints", nargs="+")
+    e.add_argument("--games", type=int, default=16)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--render", action="store_true")
+    e.set_defaults(fn=cmd_eval)
+
+    w = sub.add_parser("play", help="watch a game")
+    _add_common(w)
+    w.add_argument("checkpoint", nargs="?")
+    w.add_argument("--seed", type=int, default=0)
+    w.set_defaults(fn=cmd_play)
+
+    c = sub.add_parser("print-config", help="dump the resolved configuration")
+    _add_common(c)
+    c.set_defaults(fn=cmd_print_config)
+
+    b = sub.add_parser("bench", help="environment throughput benchmark")
+    b.add_argument("--n-envs", type=int, default=4096)
+    b.add_argument("--iters", type=int, default=200)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,10 @@ class EngineConfig:
     combo_line_mult: int = 1000
     combo_static_mult: int = 800
     lockdown_ms: int = 400
-    max_seed_rerolls: int = 24     # bound for the S/Z reroll loop (gamePlay.cpp:223-228)
+    # Bound for the S/Z reroll loop (gamePlay.cpp:223-228).  P(k rerolls) ~
+    # (2/7)^k: at 12 the truncation probability is ~3e-7 per round, and the
+    # consequence is only an S/Z opening piece.  Parity tests may raise it.
+    max_seed_rerolls: int = 12
 
     def __post_init__(self):
         assert 4 <= self.width <= 25, "bitboard layout supports width 4..25"
@@ -182,9 +185,11 @@ def zeros_player_state(cfg: EngineConfig) -> PlayerState:
     )
 
 
-# Static jnp copies of the piece tables (indexed inside jit).
-ROW_MASKS = jnp.asarray(P.ROW_MASKS)        # (7, 4, 4) uint32
-SPAWN_ROT = jnp.asarray(P.SPAWN_ROT)        # (7,) int32
-N_SYM_ROT = jnp.asarray(P.N_SYM_ROT)        # (7,) int32
-TILE = jnp.asarray(P.TILE)                  # (7,) int32
-GRIDS = jnp.asarray(P.GRIDS)                # (7, 4, 4, 4) uint8
+# Static piece tables.  Kept as NUMPY so importing this module never touches
+# a device (the axon TPU tunnel takes ~30 s to initialize); inside jit they
+# are free constants.  Wrap with jnp.asarray before indexing with tracers.
+ROW_MASKS = P.ROW_MASKS        # (7, 4, 4) uint32
+SPAWN_ROT = P.SPAWN_ROT        # (7,) int32
+N_SYM_ROT = P.N_SYM_ROT        # (7,) int32
+TILE = P.TILE                  # (7,) int32
+GRIDS = P.GRIDS                # (7, 4, 4, 4) uint8

@@ -60,7 +60,7 @@ def top_drop(cfg: EngineConfig, occ, piece, cur_rot):
     Returns (mask (4, W) bool, rest_y (4, W) int32)."""
     ext = K.ext_board(cfg, occ)
     rots, xs = _grid_coords(cfg)
-    n_sym = N_SYM_ROT[piece]
+    n_sym = jnp.asarray(N_SYM_ROT)[piece]
     # pieces with 1 enumerated rotation keep their current rotation; others
     # enumerate absolute rotations 0..n_sym-1
     eff_rot = jnp.where(n_sym == 1, cur_rot, rots)
@@ -86,7 +86,7 @@ def placement_boards(cfg: EngineConfig, occ, garb, piece, cur_rot):
     round-trips (tetris_environment.py:87-100)."""
     mask, rest = top_drop(cfg, occ, piece, cur_rot)
     rots, xs = _grid_coords(cfg)
-    n_sym = N_SYM_ROT[piece]
+    n_sym = jnp.asarray(N_SYM_ROT)[piece]
     eff_rot = jnp.where(n_sym == 1, cur_rot, rots)
 
     def one(r, x, d, m):

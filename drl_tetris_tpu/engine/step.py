@@ -457,6 +457,57 @@ def apply_macro(cfg, v: PlayerState, r, tr) -> PlayerState:
     return _hd_make(cfg, v)
 
 
+def apply_place(cfg, v: PlayerState, r_rel, x_target) -> PlayerState:
+    """Column-targeted placement: the key macro TestField emits for a
+    top-drop action (findNextMove/makeStartSequence, TestField.cpp:44-49,
+    113-125): r_rel cw rotations from spawn, then |x_target - center|
+    single steps toward the target column measured from the SPAWN center
+    (faithfully ignoring any kick displacement), then hard drop."""
+    ext = K.ext_board(cfg, v.occ)
+    rot, px, py, rows = v.rot, v.px, v.py, v.cur_rows
+    for k in range(3):
+        do = k < r_rel
+        _, rot2, px2, py2, rows2 = K.try_rotate(
+            cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows)
+        rot = jnp.where(do, rot2, rot)
+        px = jnp.where(do, px2, px)
+        py = jnp.where(do, py2, py)
+        rows = jnp.where(do, rows2, rows)
+    center = (cfg.width - 4) // 2
+    dx = x_target - center
+    direction_right = dx >= 0
+    n = jnp.abs(dx)
+    sl_r = K.slide_distance(cfg, ext, rows, px, py, +1)
+    sl_l = K.slide_distance(cfg, ext, rows, px, py, -1)
+    move = jnp.where(direction_right, jnp.minimum(n, sl_r),
+                     -jnp.minimum(n, sl_l))
+    v = v.replace(rot=rot, px=px + move, py=py, cur_rows=rows)
+    return _hd_make(cfg, v)
+
+
+def make_phase_place(cfg, state: EngineState, use, r_rel, x_target) -> EngineState:
+    """make_actions with column-targeted placements (the world-model action
+    interface used by Sherlock/SIXten-style agents)."""
+    ps = state.players
+    for i in range(cfg.n_players):
+        v = _get(ps, i)
+        active = (~v.dead) & use[i]
+        v2 = apply_place(cfg, v, r_rel[i], x_target[i])
+        ps = _put(ps, i, v2, active)
+    return state.replace(players=ps)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def step_place(cfg: EngineConfig, state: EngineState, use, r_rel, x_target,
+               dt, tables: Optional[RngTables] = None) -> EngineState:
+    """Full tick with column-targeted placements."""
+    def run(s):
+        s = make_phase_place(cfg, s, use, r_rel, x_target)
+        return finish_phase(cfg, s, dt, tables)
+    new = run(state)
+    return jax.tree.map(lambda a, b: jnp.where(state.round_over, a, b), state, new)
+
+
 def apply_key(cfg, v: PlayerState, key) -> PlayerState:
     """Raw key-code dispatch (PythonHandle.cpp:73-112; codes documented at
     PythonHandle.h:20-31).  Used by the press_key action type and parity

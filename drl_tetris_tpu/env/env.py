@@ -132,6 +132,36 @@ class TetrisVectorEnv:
             rounds_played=state.rounds_played + done.astype(jnp.int32),
         ), reward, done
 
+    @partial(jax.jit, static_argnums=0)
+    def step_place(self, state: EnvState, r_rel, x_target
+                   ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Like step(), but with column-targeted placements (the key macro
+        the reference's mask actions encode) — used by world-model agents."""
+        cfg = self.cfg
+        eng = state.engine
+        N = self.n_games
+        player = state.current_player
+        use = jnp.arange(2)[None, :] == player[:, None]
+        r2 = jnp.where(use, r_rel[:, None], 0)
+        x2 = jnp.where(use, x_target[:, None], 0)
+        dt = jnp.int32(cfg.time_elapsed_each_action)
+        eng = jax.vmap(
+            lambda e, u, rr, xx: S.step_place(cfg.engine, e, u, rr, xx, dt)
+        )(eng, use, r2, x2)
+        done = eng.round_over
+        reward = _reward(cfg, eng, player, done)
+        both = jax.vmap(lambda k: jax.random.split(k))(state.key)
+        key, reset_keys = both[:, 0], both[:, 1]
+        eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
+        eng = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((N,) + (1,) * (a.ndim - 1)), b, a),
+            eng, eng_reset)
+        return EnvState(
+            engine=eng, current_player=1 - player, key=key,
+            rounds_played=state.rounds_played + done.astype(jnp.int32),
+        ), reward, done
+
     # -- observation -------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 3))
     def observe(self, state: EnvState, player=None, mirrored=False) -> Obs:

@@ -30,8 +30,10 @@ import jax.numpy as jnp
 
 from drl_tetris_tpu.engine.core import EngineConfig, EngineState
 
+import numpy as _np
+
 # L<->J, S<->Z under horizontal reflection (trajectory.py:89)
-PIECE_SWAP = jnp.asarray([1, 0, 3, 2, 4, 5, 6], dtype=jnp.int32)
+PIECE_SWAP_NP = _np.asarray([1, 0, 3, 2, 4, 5, 6], dtype=_np.int32)
 
 
 class Obs(NamedTuple):
@@ -67,7 +69,7 @@ def player_vector(cfg: EngineConfig, state: EngineState, p, mirrored=False) -> j
     cc = take(ps.combo_count).astype(jnp.float32)
     nxt = take(ps.nextpiece)
     if mirrored:
-        nxt = PIECE_SWAP[nxt]
+        nxt = jnp.asarray(PIECE_SWAP_NP)[nxt]
     nxt1h = (nxt[..., None] == jnp.arange(7)).astype(jnp.float32)
     return jnp.concatenate(
         [x[..., None], y[..., None], inc[..., None], ct[..., None],
@@ -96,7 +98,7 @@ def observe(cfg: EngineConfig, state: EngineState, player, mirrored=False) -> Ob
 
     pc = ps.piece
     if mirrored:
-        pc = PIECE_SWAP[pc]
+        pc = jnp.asarray(PIECE_SWAP_NP)[pc]
     take_p = lambda i: jnp.take_along_axis(pc, order[..., i, None], axis=-1)[..., 0]
     piece = jnp.stack([take_p(0), take_p(1)], axis=-1)           # (..., 2)
     return Obs(vec=vecs, vis=vis, piece=piece)

@@ -1,0 +1,92 @@
+"""Round-robin evaluation: checkpoints play each other head-to-head.
+
+Port of scripts/eval.py:70-208: load >= 1 set of weights, pair agents,
+alternate turns in the two-player env, record winners on a scoreboard,
+optionally render.  Batched: every pair plays n_games vectorized matches
+with seat sides split 50/50 (the reference randomizes pairing per round,
+eval.py:53-68).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
+from drl_tetris_tpu.algos.rollout import make_policy_fn
+from drl_tetris_tpu.utils.scoreboard import Scoreboard
+from drl_tetris_tpu.utils.render import render_ansi
+
+
+@dataclasses.dataclass
+class EvalAgent:
+    name: str
+    params: object
+    net: object
+    distribution: str = "argmax"   # eval_distribution (presets.py:128)
+
+
+def play_match(env_cfg: EnvConfig, agents: Tuple[EvalAgent, EvalAgent],
+               n_games: int = 16, max_ticks: int = 2000, seed: int = 0,
+               render: bool = False) -> Tuple[int, int, int]:
+    """agents[0] sits as player 0 in every game.  Returns (wins0, wins1,
+    unfinished)."""
+    env = TetrisVectorEnv(env_cfg, n_games)
+    policies = [
+        make_policy_fn(env, a.net, a.distribution) for a in agents]
+
+    @jax.jit
+    def tick(params0, params1, st, key):
+        k0, k1 = jax.random.split(key)
+        _, _, r0, t0, *_ = policies[0](params0, st, k0)
+        _, _, r1, t1, *_ = policies[1](params1, st, k1)
+        mine = st.current_player == 0
+        r = jnp.where(mine, r0, r1)
+        t = jnp.where(mine, t0, t1)
+        return env.step(st, r, t)
+
+    st = env.reset(jax.random.PRNGKey(seed))
+    key = jax.random.PRNGKey(seed + 1)
+    finished = np.zeros(n_games, bool)
+    winner = np.full(n_games, -1)
+    for i in range(max_ticks):
+        key, k = jax.random.split(key)
+        st, _, done = tick(agents[0].params, agents[1].params, st, k)
+        d = np.asarray(done)
+        w = np.asarray(env.get_winner(st))
+        newly = d & ~finished
+        winner[newly] = w[newly]
+        finished |= d
+        if render and i % 5 == 0:
+            print("\x1b[2J\x1b[H" + render_ansi(env_cfg.engine, jax.tree.map(
+                lambda a: a[:1], st.engine), max_games=1,
+                titles=[agents[0].name, agents[1].name]))
+        if finished.all():
+            break
+    wins0 = int((winner == 0).sum())
+    wins1 = int((winner == 1).sum())
+    return wins0, wins1, int((~finished).sum())
+
+
+def round_robin(env_cfg: EnvConfig, agents: Sequence[EvalAgent],
+                games_per_pair: int = 16, seed: int = 0,
+                render: bool = False) -> Scoreboard:
+    """All-pairs tournament with seat sides swapped halfway."""
+    board = Scoreboard([a.name for a in agents])
+    half = max(games_per_pair // 2, 1)
+    for a, b in itertools.combinations(range(len(agents)), 2):
+        for (p0, p1) in ((a, b), (b, a)):
+            w0, w1, undecided = play_match(
+                env_cfg, (agents[p0], agents[p1]), n_games=half,
+                seed=seed + 97 * p0 + p1, render=render)
+            for _ in range(w0):
+                board.declare_winner(agents[p0].name, agents[p1].name)
+            for _ in range(w1):
+                board.declare_winner(agents[p1].name, agents[p0].name)
+            for _ in range(undecided):
+                board.declare_draw(agents[p0].name, agents[p1].name)
+    return board

@@ -18,8 +18,11 @@ import jax.numpy as jnp
 
 from drl_tetris_tpu.engine.core import EngineConfig
 from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
-from drl_tetris_tpu.models.nets import ModelConfig, PPONet
+from drl_tetris_tpu.models.nets import ModelConfig, PPONet, QNet
 from drl_tetris_tpu.algos.ppo import PPOConfig, make_ppo_update, segment_to_batch
+from drl_tetris_tpu.algos.dqn import DQNConfig, make_dqn_update
+from drl_tetris_tpu.algos.replay import (
+    ReplayConfig, replay_init, replay_add_segment)
 from drl_tetris_tpu.algos.rollout import make_rollout_fn, policy_inputs
 
 
@@ -79,4 +82,168 @@ class StandaloneTrainer:
                        f"loss={stats['losses/total_loss']:.4f}  "
                        f"entropy={stats['entropy/entropy']:.3f}  "
                        f"clip_sat={stats['misc/clip_saturation']:.3f}")
+        return self.stats
+
+
+@dataclasses.dataclass(frozen=True)
+class SherlockTrainerConfig:
+    env: EnvConfig = EnvConfig()
+    model: ModelConfig = ModelConfig()
+    n_envs: int = 16
+    horizon: int = 32
+    seed: int = 0
+
+
+class StandaloneSherlockTrainer:
+    """Sherlock (delta-PPO) self-play in one process
+    (agents/sherlock_agent/*, SURVEY.md 2.3)."""
+
+    def __init__(self, cfg: SherlockTrainerConfig, sherlock_cfg=None):
+        from drl_tetris_tpu.algos.sherlock import (
+            SherlockConfig, SherlockNet, make_sherlock_rollout,
+            make_sherlock_update, sherlock_segment_to_batch)
+        self.cfg = cfg
+        self.scfg = sherlock_cfg or SherlockConfig()
+        self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
+        self.net = SherlockNet(cfg.model, full_network=True)
+        self.rollout = make_sherlock_rollout(self.env, self.net, cfg.horizon)
+        self.init_opt, self.update = make_sherlock_update(
+            cfg.env.engine, self.net, self.scfg)
+        self._proc = jax.jit(
+            lambda seg, v_last: sherlock_segment_to_batch(
+                self.scfg, seg, v_last))
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, kinit, kenv = jax.random.split(key, 3)
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        params = self.net.init(
+            kinit, [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.state = self.init_opt(params)
+        self.env_state = self.env.reset(kenv)
+        self.total_steps = 0
+        self.stats = {}
+
+    def train_iteration(self):
+        self.key, kroll, kupd = jax.random.split(self.key, 3)
+        self.env_state, seg, v_last = self.rollout(
+            self.state.params, self.env_state, kroll)
+        batch, _ = self._proc(seg, v_last)
+        self.state, stats = self.update(self.state, batch, kupd)
+        self.total_steps += self.cfg.n_envs * self.cfg.horizon
+        self.stats = {k: float(v) for k, v in stats.items()}
+        return self.stats
+
+
+@dataclasses.dataclass(frozen=True)
+class DualPolicyConfig:
+    env: EnvConfig = EnvConfig()
+    model: ModelConfig = ModelConfig()
+    ppo: PPOConfig = dataclasses.field(
+        default_factory=lambda: PPOConfig(single_policy=False))
+    n_envs: int = 30
+    horizon: int = 72
+    seed: int = 0
+    winrate_lr: float = 0.02        # presets.py:179
+    winrate_tolerance: float = 0.1  # presets.py:180
+
+
+class DualPolicyTrainer:
+    """Two policies in one program, trained against each other
+    (single_policy=False; worker.py:157-192, sventon_agent_base.py:96-111).
+    The win-rate gate skips updating a policy that is already ahead."""
+
+    def __init__(self, cfg: DualPolicyConfig):
+        from drl_tetris_tpu.algos.dual import (
+            make_dual_rollout_fn, split_dual_segment, WinRateTracker)
+        assert not cfg.ppo.single_policy
+        self.cfg = cfg
+        self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
+        self.net = PPONet(cfg.model, full_network=True)
+        self.rollout = make_dual_rollout_fn(self.env, self.net, cfg.horizon)
+        self.init_opt, self.update = make_ppo_update(
+            cfg.env.engine, self.net, cfg.ppo)
+        self._split = jax.jit(
+            lambda seg, v_last: split_dual_segment(cfg.ppo, seg, v_last))
+        self.winrate = WinRateTracker(cfg.winrate_lr, cfg.winrate_tolerance)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, k0, k1, kenv = jax.random.split(key, 4)
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.states = [self.init_opt(self.net.init(k, *dummy))
+                       for k in (k0, k1)]
+        self.env_state = self.env.reset(kenv)
+        self.total_steps = 0
+        self.stats = {}
+
+    def train_iteration(self):
+        self.key, kroll, ku0, ku1 = jax.random.split(self.key, 4)
+        self.env_state, seg, v_last = self.rollout(
+            self.states[0].params, self.states[1].params,
+            self.env_state, kroll)
+        self.winrate.update(self.env.get_winner(self.env_state))
+        b0, b1, gstats = self._split(seg, v_last)
+        stats = {}
+        for p, (batch, kupd) in enumerate(((b0, ku0), (b1, ku1))):
+            if not self.winrate.should_train(p):
+                continue
+            self.states[p], s = self.update(self.states[p], batch, kupd)
+            stats.update({f"policy_{p}/{k}": float(v) for k, v in s.items()})
+        self.total_steps += self.cfg.n_envs * self.cfg.horizon
+        stats["winrate/policy_0"] = self.winrate.rate_0
+        self.stats = stats
+        return stats
+
+
+@dataclasses.dataclass(frozen=True)
+class StandaloneDQNConfig:
+    env: EnvConfig = EnvConfig()
+    model: ModelConfig = ModelConfig()
+    dqn: DQNConfig = DQNConfig()
+    replay: ReplayConfig = ReplayConfig()
+    n_envs: int = 80              # legacy DQN shape (sventon_base.py:80)
+    horizon: int = 32
+    train_distribution: str = "epsilon"   # presets.py:80
+    epsilon: float = 0.05
+    seed: int = 0
+
+
+class StandaloneDQNTrainer:
+    """SVENton-DQN / SIXten-style k-step value learning in one process:
+    epsilon-greedy (or pareto) rollouts into the on-device prioritized
+    replay, k-step lambda targets through the reference net, IS-weighted Q
+    updates (sventon_agent_dqn_trainer.py semantics)."""
+
+    def __init__(self, cfg: StandaloneDQNConfig):
+        self.cfg = cfg
+        self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
+        self.net = QNet(cfg.model, full_network=True)
+        self.rollout = make_rollout_fn(
+            self.env, self.net, cfg.horizon,
+            distribution=cfg.train_distribution, epsilon=cfg.epsilon)
+        self.init_opt, self.update = make_dqn_update(
+            cfg.env.engine, self.net, cfg.dqn, cfg.replay)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, kinit, kenv = jax.random.split(key, 3)
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        params = self.net.init(
+            kinit, [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.state = self.init_opt(params)
+        self.replay = replay_init(cfg.replay)
+        self.env_state = self.env.reset(kenv)
+        self.total_steps = 0
+        self.stats = {}
+
+    def train_iteration(self):
+        self.key, kroll, kupd = jax.random.split(self.key, 3)
+        self.env_state, seg, _ = self.rollout(
+            self.state.params, self.env_state, kroll)
+        self.replay = replay_add_segment(
+            self.cfg.replay, self.replay, seg, self.cfg.horizon)
+        self.total_steps += self.cfg.n_envs * self.cfg.horizon
+        # trainer waits for enough samples (sventon_agent_dqn_trainer.py:22)
+        if int(self.replay.size) >= self.cfg.dqn.n_samples_each_update:
+            self.state, self.replay, stats = self.update(
+                self.state, self.replay, kupd)
+            self.stats = {k: float(v) for k, v in stats.items()}
         return self.stats

@@ -1,0 +1,107 @@
+"""Metrics / telemetry.
+
+The reference logs TensorBoard scalars through a TF1 FileWriter
+(drl_tetris/utils/tb_writer.py) and wall-times runner methods with the
+``timekeeper`` decorator into a process-global table flushed to the console
+(drl_tetris/utils/timekeeper.py, trainer.py:148-174).  Equivalents:
+
+  MetricsWriter  — scalars to JSONL (always) + TensorBoard when available
+                   (torch's SummaryWriter; TF is not a dependency here)
+  timekeeper     — same decorator contract, plus jax.profiler trace hooks
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from collections import defaultdict
+from functools import wraps
+from typing import Dict, Optional
+
+
+class MetricsWriter:
+    def __init__(self, directory: str, name: str = "train"):
+        os.makedirs(directory, exist_ok=True)
+        self._path = os.path.join(directory, f"{name}.jsonl")
+        self._f = open(self._path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(directory, "tb", name))
+        except Exception:
+            pass
+
+    def update(self, scalars: Dict[str, float], step: int):
+        """tb_writer.update(dict, time) (tb_writer.py:14-18)."""
+        rec = {"step": step, "time": time.time(), **{
+            k: float(v) for k, v in scalars.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class Timekeeper:
+    """drl_tetris/utils/timekeeper.py:11-47: accumulate wall time per tagged
+    function into a shared stats dict; flush as a timing table."""
+    stats: Dict[str, float] = defaultdict(float)
+    counts: Dict[str, int] = defaultdict(int)
+
+    @classmethod
+    def timed(cls, name: Optional[str] = None):
+        def deco(fn):
+            tag = name or fn.__qualname__
+
+            @wraps(fn)
+            def wrapper(*args, **kwargs):
+                t0 = time.perf_counter()
+                try:
+                    return fn(*args, **kwargs)
+                finally:
+                    cls.stats[tag] += time.perf_counter() - t0
+                    cls.counts[tag] += 1
+            return wrapper
+        return deco
+
+    @classmethod
+    @contextlib.contextmanager
+    def section(cls, tag: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            cls.stats[tag] += time.perf_counter() - t0
+            cls.counts[tag] += 1
+
+    @classmethod
+    def table(cls) -> str:
+        """The trainer's console timing table (trainer.py:160-174)."""
+        total = sum(cls.stats.values()) or 1.0
+        rows = [f"{'section':<40}{'total_s':>10}{'calls':>8}{'share':>8}"]
+        for tag, t in sorted(cls.stats.items(), key=lambda kv: -kv[1]):
+            rows.append(f"{tag:<40}{t:>10.2f}{cls.counts[tag]:>8}"
+                        f"{t / total:>8.1%}")
+        return "\n".join(rows)
+
+    @classmethod
+    def flush(cls) -> Dict[str, float]:
+        out = dict(cls.stats)
+        cls.stats.clear()
+        cls.counts.clear()
+        return out
+
+
+timekeeper = Timekeeper

@@ -1,0 +1,128 @@
+"""End-to-end training smoke tests: PPO, DQN, dual-policy, distributed mesh.
+
+Tiny models + tiny horizons: these verify the training machinery wires up,
+losses are finite, params move, and the mesh path matches semantics — not
+learning quality (that is the long-run Elo benchmark, BASELINE.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drl_tetris_tpu.models.nets import ModelConfig
+from drl_tetris_tpu.algos.ppo import PPOConfig
+from drl_tetris_tpu.algos.dqn import DQNConfig
+from drl_tetris_tpu.algos.replay import ReplayConfig
+from drl_tetris_tpu.algos.value_estimator import EstimatorConfig
+
+TINY = ModelConfig(tower_layers=2, tower_filters=8, val_layers=2, val_filters=8)
+
+
+def _params_changed(a, b):
+    return any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def test_ppo_standalone_trains():
+    from drl_tetris_tpu.runtime.standalone import (
+        StandaloneConfig, StandaloneTrainer)
+    cfg = StandaloneConfig(n_envs=4, horizon=8, model=TINY,
+                           ppo=PPOConfig(minibatch_size=8, n_train_epochs=2,
+                                         lr=1e-3))
+    tr = StandaloneTrainer(cfg)
+    p0 = jax.tree.map(jnp.copy, tr.state.params)
+    stats = tr.train_iteration()
+    assert all(np.isfinite(v) for v in stats.values()), stats
+    assert _params_changed(p0, tr.state.params)
+    # stats are from the last minibatch AFTER updating: entropy has moved
+    # off uniform log(40)=3.69 but should stay in a sane band
+    assert 1.0 < stats["entropy/entropy"] <= 3.8
+
+
+def test_dual_policy_trains():
+    from drl_tetris_tpu.runtime.standalone import (
+        DualPolicyConfig, DualPolicyTrainer)
+    cfg = DualPolicyConfig(
+        n_envs=4, horizon=8, model=TINY,
+        ppo=PPOConfig(minibatch_size=4, n_train_epochs=1, lr=1e-3,
+                      single_policy=False))
+    tr = DualPolicyTrainer(cfg)
+    p0 = [jax.tree.map(jnp.copy, s.params) for s in tr.states]
+    stats = tr.train_iteration()
+    assert all(np.isfinite(v) for v in stats.values()), stats
+    assert _params_changed(p0[0], tr.states[0].params)
+    assert _params_changed(p0[1], tr.states[1].params)
+    # the two policies are distinct parameter sets
+    assert _params_changed(tr.states[0].params, tr.states[1].params)
+
+
+def test_dqn_standalone_trains():
+    from drl_tetris_tpu.runtime.standalone import (
+        StandaloneDQNConfig, StandaloneDQNTrainer)
+    cfg = StandaloneDQNConfig(
+        n_envs=4, horizon=16, model=TINY,
+        dqn=DQNConfig(n_samples_each_update=32, minibatch_size=8,
+                      n_train_epochs=1, lr=1e-3,
+                      estimator=EstimatorConfig(k_step=3)),
+        replay=ReplayConfig(capacity=1024, k_step=3))
+    tr = StandaloneDQNTrainer(cfg)
+    p0 = jax.tree.map(jnp.copy, tr.state.params)
+    stats = {}
+    for _ in range(2):
+        stats = tr.train_iteration()
+    assert stats, "replay never reached n_samples_each_update"
+    assert all(np.isfinite(v) for v in stats.values()), stats
+    assert _params_changed(p0, tr.state.params)
+    # priorities were updated in the replay for the sampled indices
+    assert float(jnp.max(tr.replay.prio)) != 2.0 or \
+        float(jnp.min(jnp.where(tr.replay.prio >= 0, tr.replay.prio, 9))) < 2.0
+
+
+def test_distributed_matches_semantics():
+    """The 8-device mesh trainer runs a full sharded step and produces
+    finite, replicated results (driver dryrun equivalent, in-suite)."""
+    from drl_tetris_tpu.parallel.mesh import (
+        DistributedConfig, DistributedTrainer, make_mesh)
+    mesh = make_mesh(8)
+    cfg = DistributedConfig(
+        n_envs=16, horizon=4, model=TINY,
+        ppo=PPOConfig(minibatch_size=4, n_train_epochs=1, lr=1e-3))
+    tr = DistributedTrainer(cfg, mesh)
+    state, env_state = tr.init(jax.random.PRNGKey(0))
+    p0 = jax.tree.map(jnp.copy, state.params)
+    state, env_state, stats = tr.train_step(state, env_state,
+                                            jax.random.PRNGKey(1))
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(stats))
+    assert _params_changed(p0, state.params)
+
+
+def test_eval_round_robin_random_agents():
+    from drl_tetris_tpu.runtime.evaluate import EvalAgent, round_robin
+    from drl_tetris_tpu.env.env import EnvConfig
+    from drl_tetris_tpu.models.nets import PPONet
+
+    cfg = EnvConfig()
+    net = PPONet(TINY, full_network=True)
+    H, W = cfg.engine.height, cfg.engine.width
+    dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+    agents = [
+        EvalAgent(f"a{i}", net.init(jax.random.PRNGKey(i), *dummy), net, "pi")
+        for i in range(2)
+    ]
+    board = round_robin(cfg, agents, games_per_pair=4, seed=3)
+    total_games = sum(board.games[(a.name, b.name)]
+                      for a in agents for b in agents if a.name != b.name)
+    assert total_games >= 4  # both matches played (counted twice per pair)
+    print(board.score_table())
+
+
+def test_sherlock_trains():
+    from drl_tetris_tpu.runtime.standalone import (
+        SherlockTrainerConfig, StandaloneSherlockTrainer)
+    from drl_tetris_tpu.algos.sherlock import SherlockConfig
+    cfg = SherlockTrainerConfig(n_envs=4, horizon=8, model=TINY)
+    tr = StandaloneSherlockTrainer(
+        cfg, SherlockConfig(minibatch_size=8, n_train_epochs=1, lr=1e-3))
+    p0 = jax.tree.map(jnp.copy, tr.state.params)
+    stats = tr.train_iteration()
+    assert all(np.isfinite(v) for v in stats.values()), stats
+    assert _params_changed(p0, tr.state.params)
