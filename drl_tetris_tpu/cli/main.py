@@ -47,6 +47,18 @@ def _load_cfg(args):
     return load(args.presets, _parse_overrides(args.set), run_id=args.run_id)
 
 
+_HEADLINE_KEYS = ("losses/total_loss", "losses/policy_loss",
+                  "losses/value_loss", "entropy/entropy",
+                  "misc/clip_saturation", "tot_loss", "value_loss", "q_val")
+
+
+def _headline(stats):
+    picked = [(k, stats[k]) for k in _HEADLINE_KEYS if k in stats]
+    if not picked:
+        picked = list(stats.items())[:4]
+    return "  ".join(f"{k.split('/')[-1]}={float(v):.4f}" for k, v in picked[:5])
+
+
 def cmd_train(args):
     import jax
     from drl_tetris_tpu.utils.metrics import MetricsWriter, timekeeper
@@ -79,9 +91,7 @@ def cmd_train(args):
                 it += 1
                 mw.update({k2: float(v) for k2, v in stats.items()}, total)
                 if it % args.log_every == 0:
-                    print(f"[{total:>12,} steps] " + "  ".join(
-                        f"{k2.split('/')[-1]}={float(v):.4f}"
-                        for k2, v in list(stats.items())[:4]), flush=True)
+                    print(f"[{total:>12,} steps] " + _headline(stats), flush=True)
                 if it % args.save_every == 0:
                     ckpt.save(ckpt_dir, total, state, settings=cfg.settings)
             ckpt.save(ckpt_dir, total, state, settings=cfg.settings)
@@ -117,10 +127,8 @@ def cmd_train(args):
                 mw.update(stats, tr.total_steps)
             if it % args.log_every == 0:
                 sps = steps_per_iter / max(time.time() - t0, 1e-9)
-                head = "  ".join(f"{k.split('/')[-1]}={v:.4f}"
-                                 for k, v in list(stats.items())[:4])
-                print(f"[{tr.total_steps:>12,} steps] {sps:,.0f} sps  {head}",
-                      flush=True)
+                print(f"[{tr.total_steps:>12,} steps] {sps:,.0f} sps  "
+                      + _headline(stats), flush=True)
             if it % args.save_every == 0:
                 ckpt.save(ckpt_dir, tr.total_steps, tr.state,
                           settings=cfg.settings)
@@ -141,12 +149,15 @@ def _load_agent(path, cfg, name=None):
     params = net.init(jax.random.PRNGKey(0),
                       [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
     if path != "random":
-        # checkpoints store the full train state; restore and take params
-        from drl_tetris_tpu.algos.ppo import make_ppo_update
-        init_opt, _ = make_ppo_update(cfg.env.engine, net, cfg.ppo)
-        target = init_opt(params)
-        state = ckpt.restore(path, target)
-        params = state.params
+        # checkpoints are either params-only (demo weights) or the full
+        # train state; try the light form first
+        try:
+            params = ckpt.restore(path, {"params": params})["params"]
+        except Exception:
+            from drl_tetris_tpu.algos.ppo import make_ppo_update
+            init_opt, _ = make_ppo_update(cfg.env.engine, net, cfg.ppo)
+            state = ckpt.restore(path, init_opt(params))
+            params = state.params
     return EvalAgent(name=name or os.path.basename(path.rstrip("/")),
                      params=params, net=net,
                      distribution=cfg.eval_distribution)

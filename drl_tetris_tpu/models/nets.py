@@ -125,6 +125,7 @@ _rn_init = nn.initializers.normal(0.01)
 
 class ResidualBlock(nn.Module):
     """build_blocks.py:8-64, layer for layer."""
+    dtype: object = None          # compute dtype (None = float32)
     n_layers: int = 3
     n_filters: int = 128
     filter_size: Tuple[int, int] = (3, 3)
@@ -161,7 +162,8 @@ class ResidualBlock(nn.Module):
                 if last:
                     normalize = False
             x = nn.Conv(n, self.filter_size, padding="SAME",
-                        kernel_init=kinit, bias_init=nn.initializers.zeros)(x)
+                        dtype=self.dtype, kernel_init=kinit,
+                        bias_init=nn.initializers.zeros)(x)
             if self.peepholes:
                 x = peephole_join(x, y, mode=join_mode)
             if normalize:
@@ -205,7 +207,12 @@ class KeyboardConv(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    """resblock_kbd settings (experiments/sventon_ppo.py:46-58 defaults)."""
+    """resblock_kbd settings (experiments/sventon_ppo.py:46-58 defaults).
+
+    compute_dtype: activation/conv compute precision.  'bfloat16' runs the
+    towers on the MXU at full rate with float32 params and float32 heads
+    (policy softmax / value tanh stay f32); 'float32' is bit-stable."""
+    compute_dtype: str = "float32"
     n_rotations: int = 4
     n_pieces: int = 7
     tower_layers: int = 5
@@ -234,14 +241,19 @@ class SventonNet(nn.Module):
     @nn.compact
     def __call__(self, vec, vis, deterministic: bool = True):
         c = self.cfg
+        cdtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         tower = dict(n_layers=c.tower_layers, n_filters=c.tower_filters,
-                     filter_size=(c.tower_filter_size,) * 2, dropout=c.dropout)
+                     filter_size=(c.tower_filter_size,) * 2, dropout=c.dropout,
+                     dtype=cdtype)
         # 1) pad visuals (+ optional feature stack)
         vis = [apply_visual_pad(v) for v in vis]
         if c.visual_stack:
             vis = [visual_stack(v, c.visual_stack) for v in vis]
         # 2) per-perspective visual encoder (separate weights, like separate
         #    tf variable creations per call)
+        if cdtype is not None:
+            vis = [v.astype(cdtype) for v in vis]
+            vec = [v.astype(cdtype) for v in vec]
         hidden_vis = [ResidualBlock(**tower)(v, deterministic) for v in vis]
         # 3) tile vector data into feature planes, join
         h, w = hidden_vis[0].shape[1:3]
@@ -253,11 +265,13 @@ class SventonNet(nn.Module):
         # 5) advantage stream: my joined stream + opponent scalar planes
         adv_in = peephole_join(joined[0], vecp[1], mode="add")
         a = ResidualBlock(output_activation=None, **tower)(adv_in, deterministic)
+        a = a.astype(jnp.float32)
         raw_A = KeyboardConv(c.n_rotations, c.n_pieces)(a)  # (B, R, W, P)
         # 7) value stream (trainer-side only)
         if self.full_network:
             vstream = jnp.concatenate(joined + vis, axis=-1)
             v = ResidualBlock(
+                dtype=cdtype,
                 n_layers=c.val_layers, n_filters=c.val_filters,
                 filter_size=(c.val_filter_size,) * 2, pools=True,
                 output_n_filters=(c.n_pieces + 1 if c.separate_piece_values else 1),
@@ -265,7 +279,7 @@ class SventonNet(nn.Module):
                 normalization="layer", dropout=c.dropout,
             )(vstream, deterministic)
             # pool to (B, 1, 1, P+1)
-            v = jnp.mean(v, axis=(1, 2), keepdims=True)
+            v = jnp.mean(v.astype(jnp.float32), axis=(1, 2), keepdims=True)
             # normalize_advantages(inplace=True, axis=3, tanh): ch0 is the
             # baseline, ch1.. are per-piece offsets, mean-centered
             # (sventon_architectures.py:50, network_utils.py:8-35)
@@ -280,6 +294,53 @@ class SventonNet(nn.Module):
             raw_V = v  # (B, 1, 1, P) or (B, 1, 1, 1)
         else:
             raw_V = jnp.zeros((vec[0].shape[0], 1, 1, 1), jnp.float32)
+        return raw_V, raw_A
+
+
+class ConvThenDense(nn.Module):
+    """Legacy 'convthendense' architecture (sventon_architectures.py:95-118):
+    per-perspective conv encoders + vector MLPs, flattened and concatenated,
+    dense value head and a dense (R*T*P) advantage head."""
+    cfg: ModelConfig
+    full_network: bool = True
+    n_translations: int = 10
+    vec_hidden: int = 256
+    vec_out: int = 32
+    conv_filters: Tuple[int, ...] = (16, 32, 32, 4)
+    value_hidden: int = 256
+    advantage_range: float = 1.0
+
+    @nn.compact
+    def __call__(self, vec, vis, deterministic: bool = True):
+        c = self.cfg
+        hidden_vec = []
+        for v in vec:
+            h = nn.relu(nn.Dense(self.vec_hidden)(v))
+            hidden_vec.append(nn.Dense(self.vec_out)(h))
+        hidden_vis = []
+        for v in vis:
+            x = apply_visual_pad(v)
+            for i, f in enumerate(self.conv_filters):
+                k = (7, 7) if i == 0 else (3, 3)
+                x = nn.elu(nn.Conv(f, k, padding="SAME")(x))
+                if i == 0:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+            hidden_vis.append(x.reshape(x.shape[0], -1))
+        x = jnp.concatenate(hidden_vec + hidden_vis, axis=-1)
+        if self.full_network:
+            h = nn.elu(nn.Dense(self.value_hidden)(x))
+            n = c.n_pieces + 1 if c.separate_piece_values else 1
+            V = jnp.tanh(nn.Dense(n)(h))
+        else:
+            V = jnp.zeros((x.shape[0], 1), jnp.float32)
+        raw_V = V.reshape(V.shape[0], 1, 1, -1)
+        if raw_V.shape[-1] > 1:
+            base, offs = raw_V[..., :1], raw_V[..., 1:]
+            raw_V = base + (offs - jnp.mean(offs, axis=3, keepdims=True))
+        A = nn.Dense(c.n_rotations * self.n_translations * c.n_pieces,
+                     kernel_init=nn.initializers.glorot_uniform())(x)
+        raw_A = self.advantage_range * A.reshape(
+            -1, c.n_rotations, self.n_translations, c.n_pieces)
         return raw_V, raw_A
 
 

@@ -30,38 +30,74 @@ class EvalAgent:
     distribution: str = "argmax"   # eval_distribution (presets.py:128)
 
 
-def play_match(env_cfg: EnvConfig, agents: Tuple[EvalAgent, EvalAgent],
-               n_games: int = 16, max_ticks: int = 2000, seed: int = 0,
-               render: bool = False) -> Tuple[int, int, int]:
-    """agents[0] sits as player 0 in every game.  Returns (wins0, wins1,
-    unfinished)."""
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, net1, dist1):
+    """Cache the jitted per-tick match function per (env, nets, dists) so a
+    round-robin doesn't recompile for every pairing (flax Modules are
+    hashable frozen dataclasses)."""
     env = TetrisVectorEnv(env_cfg, n_games)
-    policies = [
-        make_policy_fn(env, a.net, a.distribution) for a in agents]
+    p0 = make_policy_fn(env, net0, dist0)
+    p1 = make_policy_fn(env, net1, dist1)
 
     @jax.jit
     def tick(params0, params1, st, key):
         k0, k1 = jax.random.split(key)
-        _, _, r0, t0, *_ = policies[0](params0, st, k0)
-        _, _, r1, t1, *_ = policies[1](params1, st, k1)
+        _, _, r0, t0, *_ = p0(params0, st, k0)
+        _, _, r1, t1, *_ = p1(params1, st, k1)
         mine = st.current_player == 0
         r = jnp.where(mine, r0, r1)
         t = jnp.where(mine, t0, t1)
         return env.step(st, r, t)
 
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def ticks(params0, params1, st, key, n: int = 16):
+        def body(c, k):
+            st = c
+            st, _, done = tick(params0, params1, st, k)
+            return st, done
+        keys = jax.random.split(key, n)
+        st, dones = jax.lax.scan(body, st, keys)
+        return st, dones
+
+    return env, tick, ticks
+
+
+def play_match(env_cfg: EnvConfig, agents: Tuple[EvalAgent, EvalAgent],
+               n_games: int = 16, max_ticks: int = 2000, seed: int = 0,
+               render: bool = False) -> Tuple[int, int, int]:
+    """agents[0] sits as player 0 in every game.  Returns (wins0, wins1,
+    unfinished)."""
+    env, tick, _ = _match_fns(env_cfg, n_games, agents[0].net,
+                              agents[0].distribution, agents[1].net,
+                              agents[1].distribution)
+
+    _, _, ticks = _match_fns(env_cfg, n_games, agents[0].net,
+                             agents[0].distribution, agents[1].net,
+                             agents[1].distribution)
     st = env.reset(jax.random.PRNGKey(seed))
     key = jax.random.PRNGKey(seed + 1)
     finished = np.zeros(n_games, bool)
     winner = np.full(n_games, -1)
-    for i in range(max_ticks):
+    # Rendering wants tick granularity; headless runs batch 8 ticks per
+    # dispatch (rounds cannot finish twice within 8 ticks, so the winner of
+    # a game's first finished round is still attributed correctly).
+    chunk = 1 if render else 8
+    for i in range(0, max_ticks, chunk):
         key, k = jax.random.split(key)
-        st, _, done = tick(agents[0].params, agents[1].params, st, k)
-        d = np.asarray(done)
+        if chunk == 1:
+            st, _, done = tick(agents[0].params, agents[1].params, st, k)
+            d = np.asarray(done)
+        else:
+            st, dones = ticks(agents[0].params, agents[1].params, st, k, chunk)
+            d = np.asarray(dones).any(axis=0)
         w = np.asarray(env.get_winner(st))
         newly = d & ~finished
         winner[newly] = w[newly]
         finished |= d
-        if render and i % 5 == 0:
+        if render:
             print("\x1b[2J\x1b[H" + render_ansi(env_cfg.engine, jax.tree.map(
                 lambda a: a[:1], st.engine), max_games=1,
                 titles=[agents[0].name, agents[1].name]))

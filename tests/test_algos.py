@@ -153,3 +153,43 @@ def test_pareto_distribution():
     order = np.argsort(-p)
     np.testing.assert_array_equal(order, [1, 2, 0])
     assert abs(p.sum() - 1) < 1e-6
+
+
+def test_reward_shaper_terminal_split():
+    from drl_tetris_tpu.algos.reward_shapers import linear_reshaping
+    T = 8
+    r = np.zeros((T, 1), np.float32); r[-1] = 1.0
+    d = np.zeros((T, 1), np.float32); d[-1] = 1
+    shaped = linear_reshaping(0.5)(jnp.asarray(r), jnp.asarray(d))
+    s = np.asarray(shaped)
+    # terminal keeps (1-amount)*rT; earlier steps get smeared signal
+    assert abs(s[-1, 0] - 0.5) < 1e-6
+    assert np.any(s[:-1, 0] != 0)
+
+
+def test_experiment_schedule_patches():
+    from drl_tetris_tpu.config.schedule import Experiment, experiment_schedule
+    exp = Experiment(name="e", overrides={"gamma": 0.9},
+                     patches=({"gamma": 0.8}, {"minibatch_size": 16}))
+    cfgs = list(experiment_schedule([exp]))
+    assert len(cfgs) == 3           # null patch + 2 cumulative patches
+    assert cfgs[0].ppo.gamma == 0.9
+    assert cfgs[1].ppo.gamma == 0.8
+    assert cfgs[2].ppo.gamma == 0.8          # cumulative
+    assert cfgs[2].ppo.minibatch_size == 16
+    assert cfgs[0].run_id == "e" and cfgs[2].run_id == "e-patch2"
+    only = list(experiment_schedule([exp], only_last=True))
+    assert len(only) == 1 and only[0].ppo.minibatch_size == 16
+
+
+def test_convthendense_shapes():
+    from drl_tetris_tpu.models.nets import ConvThenDense, ModelConfig
+    net = ConvThenDense(ModelConfig(tower_layers=1, tower_filters=4),
+                        conv_filters=(4, 4), vec_hidden=8, vec_out=4,
+                        value_hidden=8)
+    B, H, W = 2, 22, 10
+    vec = [jnp.zeros((B, 12))] * 2
+    vis = [jnp.zeros((B, H, W, 1))] * 2
+    params = net.init(jax.random.PRNGKey(0), vec, vis)
+    V, A = net.apply(params, vec, vis)
+    assert V.shape == (B, 1, 1, 7) and A.shape == (B, 4, 10, 7)
