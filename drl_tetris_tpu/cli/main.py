@@ -68,6 +68,15 @@ def cmd_train(args):
     ckpt_dir = os.path.join(args.data_dir, "models", cfg.run_id)
     metrics_dir = os.path.join(args.data_dir, "summaries")
 
+    if args.multihost:
+        # DCN scale-out: every host runs this same command; JAX wires the
+        # global device mesh (SURVEY.md 2.5 'multi-host via jax.distributed').
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id)
+        args.distributed = True
+
     if args.distributed:
         from drl_tetris_tpu.parallel.mesh import (
             DistributedConfig, DistributedTrainer, make_mesh)
@@ -214,7 +223,13 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=1)
     t.add_argument("--save-every", type=int, default=50)
-    t.add_argument("--distributed", action="store_true")
+    t.add_argument("--distributed", action="store_true",
+                   help="mesh actor-learner over all local devices")
+    t.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and span hosts over DCN")
+    t.add_argument("--coordinator", default="127.0.0.1:9777")
+    t.add_argument("--num-hosts", type=int, default=1)
+    t.add_argument("--host-id", type=int, default=0)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="round-robin tournament between checkpoints")
