@@ -70,7 +70,8 @@ def make_target_fn(engine_cfg: EngineConfig, ref_net, cfg: EstimatorConfig):
         vis = [grids[:, 0, :, :, None], grids[:, 1, :, :, None]]
         vec = [vec_t[:, 0, :], vec_t[:, 1, :]]
         out = ref_net.apply(params, vec, vis)
-        v = out[1] if len(out) == 3 else out[1]  # (Q,V,A) -> V; (pi,v) -> v
+        # (Q,V,A) -> V; (pi,v) -> v; a bare array (VNet) IS the value
+        v = out if isinstance(out, jnp.ndarray) else out[1]
         if v.ndim == 2 and v.shape[-1] > 1:
             v = jnp.mean(v, axis=-1, keepdims=True)           # piece-mean
         return v.reshape(-1)                                  # (n,)

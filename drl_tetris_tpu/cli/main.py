@@ -68,6 +68,30 @@ def cmd_train(args):
     ckpt_dir = os.path.join(args.data_dir, "models", cfg.run_id)
     metrics_dir = os.path.join(args.data_dir, "summaries")
 
+    def make_league(net):
+        if not args.league_every:
+            return None
+        if cfg.flavour == "sixten":
+            # the league's match policy samples from an action head; the
+            # sixten VNet has none (world-model search) — not wired yet
+            print("[league] sixten flavour not supported; disabled")
+            return None
+        import jax.numpy as jnp
+        from drl_tetris_tpu.runtime.league import TrainingLeague
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        rnd = net.init(jax.random.PRNGKey(0xE10),
+                       [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        return TrainingLeague(cfg.env, net, rnd, out_dir=ckpt_dir,
+                              games_per_pair=args.league_games)
+
+    def league_tick(league, it, params, total):
+        if league is not None and it % args.league_every == 0:
+            ratings = league.evaluate(params, total, seed=args.seed + it)
+            latest = ratings.get(f"step_{total}", 0.0)
+            print(f"[league] step {total:,}: elo={latest:.1f}  "
+                  + " ".join(f"{k}={v:.0f}" for k, v in
+                             sorted(ratings.items())), flush=True)
+
     if args.multihost:
         # DCN scale-out: every host runs this same command; JAX wires the
         # global device mesh (SURVEY.md 2.5 'multi-host via jax.distributed').
@@ -87,6 +111,7 @@ def cmd_train(args):
         tr = DistributedTrainer(dcfg, mesh)
         state, env_state = tr.init(jax.random.PRNGKey(args.seed))
         steps_per_iter = dcfg.n_envs * dcfg.horizon
+        league = make_league(tr.net)
         with MetricsWriter(metrics_dir, cfg.run_id) as mw:
             total = 0
             it = 0
@@ -103,11 +128,20 @@ def cmd_train(args):
                     print(f"[{total:>12,} steps] " + _headline(stats), flush=True)
                 if it % args.save_every == 0:
                     ckpt.save(ckpt_dir, total, state, settings=cfg.settings)
+                league_tick(league, it, state.params, total)
             ckpt.save(ckpt_dir, total, state, settings=cfg.settings)
         print(timekeeper.table())
         return
 
-    if cfg.flavour == "dqn":
+    if cfg.flavour == "sixten":
+        from drl_tetris_tpu.runtime.standalone import (
+            StandaloneSIXtenConfig, StandaloneSIXtenTrainer)
+        scfg = StandaloneSIXtenConfig(
+            env=cfg.env, model=cfg.model, replay=cfg.replay,
+            n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+            train_distribution=cfg.train_distribution, seed=args.seed)
+        tr = StandaloneSIXtenTrainer(scfg, sixten_cfg=cfg.sixten)
+    elif cfg.flavour == "dqn":
         from drl_tetris_tpu.runtime.standalone import (
             StandaloneDQNConfig, StandaloneDQNTrainer)
         scfg = StandaloneDQNConfig(
@@ -125,6 +159,7 @@ def cmd_train(args):
         tr = StandaloneTrainer(scfg)
 
     steps_per_iter = scfg.n_envs * scfg.horizon
+    league = make_league(tr.net)
     with MetricsWriter(metrics_dir, cfg.run_id) as mw:
         it = 0
         while tr.total_steps < args.steps:
@@ -141,6 +176,7 @@ def cmd_train(args):
             if it % args.save_every == 0:
                 ckpt.save(ckpt_dir, tr.total_steps, tr.state,
                           settings=cfg.settings)
+            league_tick(league, it, tr.state.params, tr.total_steps)
         ckpt.save(ckpt_dir, tr.total_steps, tr.state, settings=cfg.settings)
     print(timekeeper.table())
 
@@ -181,6 +217,9 @@ def cmd_eval(args):
     board = round_robin(cfg.env, agents, games_per_pair=args.games,
                         seed=args.seed, render=args.render)
     print(board.score_table())
+    from drl_tetris_tpu.utils.elo import elo_table, fit_elo
+    print("\nElo (Bradley-Terry MLE):")
+    print(elo_table(fit_elo(board)))
 
 
 def cmd_play(args):
@@ -223,6 +262,11 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=1)
     t.add_argument("--save-every", type=int, default=50)
+    t.add_argument("--league-every", type=int, default=0,
+                   help="every N iterations, play the current snapshot "
+                        "against past snapshots + a random anchor and refit "
+                        "Elo ratings (writes elo_history.jsonl)")
+    t.add_argument("--league-games", type=int, default=16)
     t.add_argument("--distributed", action="store_true",
                    help="mesh actor-learner over all local devices")
     t.add_argument("--multihost", action="store_true",

@@ -121,6 +121,25 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "val_filter_size": 5,
         "n_envs_per_thread": 30,
     },
+    # experiments/sixten_base.py — SIXten: V-learning on prioritized replay
+    # with k-step estimates, using the env's world model
+    "experiment_sixten": {
+        "flavour": "sixten",
+        "n_step_value_estimates": 5,
+        "n_samples_each_update": 16384,
+        "minibatch_size": 128,
+        "n_train_epochs_per_update": 1,
+        "time_to_reference_update": 20,
+        # sixten_base.py:17-21 schedules for a 10M-step run: lr decays 3
+        # decades over the horizon, beta anneals 0.5 -> 1.0
+        "value_lr": ExpParameter(1e-3, base=10.0, decay=-3 / 10_000_000),
+        "prioritized_replay_alpha": Parameter(0.7),
+        "prioritized_replay_beta": LinearParameter(
+            0.5, decay=0.5 / 10_000_000, max_val=1.0),
+        "pieces": (0, 6),
+        "train_distribution": "epsilon",
+        "n_envs_per_thread": 16,
+    },
     # experiments/sventon_dqn.py flavour
     "experiment_sventon_dqn": {
         "flavour": "dqn",
@@ -139,6 +158,7 @@ class FrameworkConfig:
     model: ModelConfig = ModelConfig()
     ppo: PPOConfig = PPOConfig()
     dqn: DQNConfig = DQNConfig()
+    sixten: Any = None            # SixtenConfig (lazy import in resolve())
     replay: ReplayConfig = ReplayConfig()
     flavour: str = "ppo"
     n_envs: int = 30
@@ -233,8 +253,21 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         sample_mode={"rank": "rank"}.get(
             s.get("experience_replay_sample_mode", "rank"), "proportional"),
     )
+    from drl_tetris_tpu.algos.sixten import SixtenConfig
+    sixten = SixtenConfig(
+        lr=param_eval(s.get("value_lr", 1e-4)),
+        nn_regularizer=s.get("nn_regularizer", 1e-4),
+        n_samples_each_update=s.get("n_samples_each_update", 4096),
+        minibatch_size=s.get("minibatch_size", 32),
+        n_train_epochs=s.get("n_train_epochs_per_update", 1),
+        alpha=param_eval(s.get("prioritized_replay_alpha", 0.7)),
+        beta=param_eval(s.get("prioritized_replay_beta", 0.7)),
+        time_to_reference_update=s.get("time_to_reference_update", 3),
+        estimator=estimator,
+    )
     return FrameworkConfig(
-        settings=s, env=env, model=model, ppo=ppo, dqn=dqn, replay=replay,
+        settings=s, env=env, model=model, ppo=ppo, dqn=dqn, sixten=sixten,
+        replay=replay,
         flavour=s.get("flavour", "ppo"),
         n_envs=s.get("n_envs_per_thread", 30),
         train_distribution=s.get("train_distribution", "pi"),

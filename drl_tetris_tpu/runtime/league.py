@@ -1,0 +1,61 @@
+"""Training-time league: Elo tracking over the course of a run.
+
+Periodically snapshots the learner's params, plays a vectorized round-robin
+against a pool of past snapshots plus a fixed random-policy anchor, and
+re-fits Bradley-Terry/Elo ratings over the cumulative cross-table
+(utils/elo.py).  This produces the scalar learning curve the reference
+lacks (its eval.py:182-189 only prints raw win counts) and is the metric
+for the 10M-step reference-parity benchmark in BASELINE.md.
+"""
+from __future__ import annotations
+
+import collections
+from typing import Deque, Dict, Optional, Tuple
+
+import jax
+
+from drl_tetris_tpu.env.env import EnvConfig
+from drl_tetris_tpu.runtime.evaluate import EvalAgent, round_robin
+from drl_tetris_tpu.utils.elo import LeagueHistory
+
+
+class TrainingLeague:
+    """Maintains a rolling opponent pool and an Elo history.
+
+    The pool keeps the ``max_pool`` most recent snapshots (older ones are
+    dropped from play but keep their fitted rating — their games stay in the
+    cumulative table).  The random anchor pins the scale at 1000.
+    """
+
+    def __init__(self, env_cfg: EnvConfig, net, random_params,
+                 out_dir: Optional[str] = None, games_per_pair: int = 16,
+                 max_pool: int = 4, distribution: str = "argmax"):
+        self.env_cfg = env_cfg
+        self.net = net
+        self.distribution = distribution
+        self.games_per_pair = games_per_pair
+        self.pool: Deque[EvalAgent] = collections.deque(maxlen=max_pool)
+        self.history = LeagueHistory(out_dir=out_dir, anchor="random")
+        self.anchor = EvalAgent(name="random", params=random_params, net=net,
+                                distribution="pi")
+        self.history.steps["random"] = 0
+
+    def evaluate(self, params, step: int, seed: int = 0) -> Dict[str, float]:
+        """Snapshot ``params`` at ``step``, play it against the pool + anchor,
+        fold the results into the league, return the re-fit ratings."""
+        name = f"step_{step}"
+        snap = EvalAgent(name=name, params=jax.tree.map(lambda a: a, params),
+                         net=self.net, distribution=self.distribution)
+        opponents = list(self.pool) + [self.anchor]
+        board = round_robin(self.env_cfg, [snap] + opponents,
+                            games_per_pair=self.games_per_pair, seed=seed)
+        ratings = self.history.add_result(board, step, name)
+        self.pool.append(snap)
+        return ratings
+
+    def rating_of_latest(self) -> Tuple[int, float]:
+        curve = self.history.curve()
+        if not curve:
+            return 0, 0.0
+        last = curve[-1]
+        return last.step, last.rating

@@ -195,6 +195,62 @@ class DualPolicyTrainer:
 
 
 @dataclasses.dataclass(frozen=True)
+class StandaloneSIXtenConfig:
+    env: EnvConfig = EnvConfig()
+    model: ModelConfig = ModelConfig()
+    replay: ReplayConfig = ReplayConfig()
+    n_envs: int = 16              # SIXten shape (sixten_base.py:29)
+    horizon: int = 32
+    train_distribution: str = "epsilon"
+    epsilon: float = 0.05
+    seed: int = 0
+
+
+class StandaloneSIXtenTrainer:
+    """SIXten in one process: world-model one-ply search rollouts (V over
+    simulated successor boards) into prioritized replay, k-step lambda
+    V-targets through the reference net (prio_vnet.py:176-232 semantics —
+    see algos/sixten.py)."""
+
+    def __init__(self, cfg: StandaloneSIXtenConfig, sixten_cfg=None):
+        from drl_tetris_tpu.algos.sixten import (
+            SixtenConfig, VNet, make_sixten_rollout, make_sixten_update)
+        self.cfg = cfg
+        self.scfg = sixten_cfg or SixtenConfig()
+        self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
+        self.net = VNet(cfg.model, full_network=True)
+        self.rollout = make_sixten_rollout(
+            self.env, self.net, cfg.horizon,
+            distribution=cfg.train_distribution, epsilon=cfg.epsilon)
+        self.init_opt, self.update = make_sixten_update(
+            cfg.env.engine, self.net, self.scfg, cfg.replay)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, kinit, kenv = jax.random.split(key, 3)
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        params = self.net.init(
+            kinit, [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.state = self.init_opt(params)
+        self.replay = replay_init(cfg.replay)
+        self.env_state = self.env.reset(kenv)
+        self.total_steps = 0
+        self.stats = {}
+
+    def train_iteration(self):
+        self.key, kroll, kupd = jax.random.split(self.key, 3)
+        self.env_state, seg, _ = self.rollout(
+            self.state.params, self.env_state, kroll)
+        self.replay = replay_add_segment(
+            self.cfg.replay, self.replay, seg, self.cfg.horizon)
+        self.total_steps += self.cfg.n_envs * self.cfg.horizon
+        if int(self.replay.size) >= self.scfg.n_samples_each_update:
+            self.state, self.replay, stats = self.update(
+                self.state, self.replay, kupd)
+            self.stats = {k: float(v) for k, v in stats.items()}
+        return self.stats
+
+
+@dataclasses.dataclass(frozen=True)
 class StandaloneDQNConfig:
     env: EnvConfig = EnvConfig()
     model: ModelConfig = ModelConfig()
