@@ -42,13 +42,17 @@ def main():
         st, _ = jax.lax.scan(body, st, keys)
         return st
 
-    # compile + warmup
+    # compile + warmup.  NOTE: a scalar device->host readback is the sync
+    # point — jax.block_until_ready over the axon TPU tunnel can return
+    # before the computation finishes, silently inflating the measurement
+    # ~70x; a value fetch cannot lie.
     st = run(st, jax.random.PRNGKey(1))
-    jax.block_until_ready(st)
+    sync = float(st.rounds_played.sum())
     t0 = time.perf_counter()
     st = run(st, jax.random.PRNGKey(2))
-    jax.block_until_ready(st)
+    sync = float(st.rounds_played.sum())
     dt = time.perf_counter() - t0
+    assert sync > 0.0
 
     steps_per_s = n_games * n_iters / dt
     baseline = 5_000_000.0
