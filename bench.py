@@ -19,8 +19,11 @@ import jax.numpy as jnp
 
 
 def main():
+    # 2000 ticks per dispatch: the axon tunnel costs ~30 ms fixed latency
+    # per jitted call, which at 200 ticks was 35% of the measurement; the
+    # metric is sustained throughput, not tunnel round-trip.
     n_games = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 
     from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
 

@@ -58,6 +58,25 @@ def lookup_rows(piece, rot) -> jnp.ndarray:
     return out
 
 
+def lookup_rows_all(piece) -> jnp.ndarray:
+    """(4, 4) uint32 row masks of ALL rotations of ``piece`` (7-way select).
+    Callers doing several rotations of one piece (apply_macro's unrolled
+    rotation chain) look this up once and pick rotations with
+    ``select_rot`` — 7 + 4 selects instead of 28 per rotation."""
+    out = jnp.zeros((4, 4), jnp.uint32)
+    for p in range(7):
+        out = jnp.where(piece == p, jnp.asarray(_ROW_MASKS_NP[p]), out)
+    return out
+
+
+def select_rot(all_rows, rot) -> jnp.ndarray:
+    """(4,) row masks for rotation ``rot`` out of a lookup_rows_all table."""
+    out = all_rows[0]
+    for r in range(1, 4):
+        out = jnp.where(rot == r, all_rows[r], out)
+    return out
+
+
 def _piece_column(cfg: EngineConfig, rows4, py):
     """Paint the 4 grid-row masks into an (H,) column at rows py..py+3
     (unshifted bit space) + an out-of-bounds flag for occupied rows that
@@ -132,22 +151,33 @@ _KICKS = ((0, 0), (0, 1), (-1, 0), (1, 0), (-1, 1), (1, 1), (-2, 0), (2, 0))
 
 
 def try_rotate(cfg: EngineConfig, ext, piece, rot, px, py, turns: int,
-               cur_rows=None):
+               cur_rows=None, all_rows=None):
     """rcw (turns=1) / rccw (turns=3) / r180 (turns=2) with the kick probe
     sequence.  Returns (rotated?, rot', px', py', rows4') where rows4' is
-    the piece's (possibly new) cached row masks."""
+    the piece's (possibly new) cached row masks.
+
+    The 8 probes only ever test dy in {0, 1}, so the piece column is
+    painted twice and each probe is a single shifted AND (vs 8 full
+    possible() calls).  ``all_rows``: optional lookup_rows_all table when
+    the caller rotates the same piece repeatedly."""
     new_rot = jnp.mod(rot + turns, 4)
-    new_rows = lookup_rows(piece, new_rot)
+    new_rows = (select_rot(all_rows, new_rot) if all_rows is not None
+                else lookup_rows(piece, new_rot))
+    col0, oob0 = _piece_column(cfg, new_rows, py)
+    col1, oob1 = _piece_column(cfg, new_rows, py + 1)
     found = jnp.bool_(False)
     bx, by = px, py
     for (dx, dy) in _KICKS:
-        ok = possible(cfg, ext, new_rows, px + dx, py + dy)
+        col, oob = (col1, oob1) if dy else (col0, oob0)
+        sh = col << (px + dx + 4).astype(jnp.uint32)
+        ok = (~oob) & ~jnp.any((ext & sh) != 0)
         take = ok & ~found
         bx = jnp.where(take, px + dx, bx)
         by = jnp.where(take, py + dy, by)
         found = found | ok
     if cur_rows is None:
-        cur_rows = lookup_rows(piece, rot)
+        cur_rows = (select_rot(all_rows, rot) if all_rows is not None
+                    else lookup_rows(piece, rot))
     return (found,
             jnp.where(found, new_rot, rot),
             jnp.where(found, bx, px),
@@ -169,8 +199,14 @@ def clear_lines(cfg: EngineConfig, occ, garb, py):
 
     Scans only rows r in [py, py+H-1] clipped to the field (with negative py
     the bottom |py| rows are NOT scanned — a faithful quirk).  Kept rows
-    move down by the number of full rows below them; the compaction is an
-    (H, H) one-hot permutation-select.
+    move down by the number of full rows below them.
+
+    A single lock can complete at most 4 rows (the piece touches 4 rows and
+    every previously-completed row was cleared inside its own lock's scan
+    window — newly full rows always lie in [py, py+3] ⊆ scan), so the
+    per-row drop distance is <= 4 and the compaction is 5 masked
+    shift-accumulates instead of an (H, H) one-hot select (~5x fewer lane
+    ops on the hottest kernel in the tick).
     Returns (occ', garb', n_cleared, n_garbage_rows)."""
     H = cfg.height
     rs = jnp.arange(H, dtype=jnp.int32)
@@ -179,11 +215,18 @@ def clear_lines(cfg: EngineConfig, occ, garb, py):
     n_cleared = jnp.sum(full).astype(jnp.int32)
     n_garb = jnp.sum(full & (garb != 0)).astype(jnp.int32)
     full_below = (jnp.cumsum(full[::-1])[::-1] - full).astype(jnp.int32)
-    dst = rs + full_below                        # destination of kept row r
-    # sel[rd, rsrc] = kept & lands at rd
-    sel = (~full)[None, :] & (dst[None, :] == rs[:, None])   # (H, H)
-    occ2 = jnp.sum(jnp.where(sel, occ[None, :], 0), axis=1, dtype=jnp.uint32)
-    garb2 = jnp.sum(jnp.where(sel, garb[None, :], 0), axis=1, dtype=jnp.uint32)
+    occ2 = jnp.zeros_like(occ)
+    garb2 = jnp.zeros_like(garb)
+    zk = jnp.zeros((4,), occ.dtype)
+    for k in range(5):
+        m = (~full) & (full_below == k)          # rows dropping exactly k
+        ok = jnp.where(m, occ, 0)
+        gk = jnp.where(m, garb, 0)
+        if k:
+            ok = jnp.concatenate([zk[:k], ok[:-k]])
+            gk = jnp.concatenate([zk[:k], gk[:-k]])
+        occ2 = occ2 | ok                          # destinations are disjoint
+        garb2 = garb2 | gk
     return occ2, garb2, n_cleared, n_garb
 
 

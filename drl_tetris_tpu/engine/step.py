@@ -137,12 +137,19 @@ def garbage_count(cfg, v) -> jnp.ndarray:
 
 
 def _shift_left(arr, n):
-    """out[j] = arr[j + n] (zero fill) via a one-hot (CAP, CAP) select —
-    n is a small traced scalar."""
+    """out[j] = arr[j + n] (zero fill); n is a small traced scalar in
+    [0, CAP].  Binary-decomposed static shifts (log2(CAP) masked selects)
+    instead of a one-hot (CAP, CAP) select — ~6x fewer lane ops."""
     CAP = arr.shape[0]
-    j = jnp.arange(CAP)
-    sel = (j[None, :] == j[:, None] + n)          # (dst, src)
-    return jnp.sum(jnp.where(sel, arr[None, :], 0), axis=1, dtype=arr.dtype)
+    z = jnp.zeros_like(arr)
+    out = arr
+    k = 0
+    while (1 << k) <= CAP:
+        s = 1 << k
+        shifted = jnp.concatenate([out[s:], z[:s]]) if s < CAP else z
+        out = jnp.where((n >> k) & 1 != 0, shifted, out)
+        k += 1
+    return out
 
 
 def _garbage_add(cfg, v: PlayerState, amount) -> PlayerState:
@@ -442,11 +449,13 @@ def apply_macro(cfg, v: PlayerState, r, tr) -> PlayerState:
     finish phase).  Board is unchanged until the final lock, so the extended
     board is computed once."""
     ext = K.ext_board(cfg, v.occ)
+    all_rows = K.lookup_rows_all(v.piece)
     rot, px, py, rows = v.rot, v.px, v.py, v.cur_rows
     for k in range(3):  # r <= 3
         do = k < r
         _, rot2, px2, py2, rows2 = K.try_rotate(
-            cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows)
+            cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows,
+            all_rows=all_rows)
         rot = jnp.where(do, rot2, rot)
         px = jnp.where(do, px2, px)
         py = jnp.where(do, py2, py)
@@ -464,11 +473,13 @@ def apply_place(cfg, v: PlayerState, r_rel, x_target) -> PlayerState:
     single steps toward the target column measured from the SPAWN center
     (faithfully ignoring any kick displacement), then hard drop."""
     ext = K.ext_board(cfg, v.occ)
+    all_rows = K.lookup_rows_all(v.piece)
     rot, px, py, rows = v.rot, v.px, v.py, v.cur_rows
     for k in range(3):
         do = k < r_rel
         _, rot2, px2, py2, rows2 = K.try_rotate(
-            cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows)
+            cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows,
+            all_rows=all_rows)
         rot = jnp.where(do, rot2, rot)
         px = jnp.where(do, px2, px)
         py = jnp.where(do, py2, py)
