@@ -63,6 +63,28 @@ class RngTables(NamedTuple):
     hole: jnp.ndarray   # (T,) float32
 
 
+def _merge(pred, a_tree, b_tree):
+    """where(pred, a, b) per leaf, skipping leaves that are the SAME object
+    in both trees.  Functional updates via .replace() keep untouched fields
+    identical, so a branch that mutates 6 of the ~40 PlayerState leaves
+    costs 6 selects instead of 40 — a large share of the tick is these
+    merges."""
+    return jax.tree.map(
+        lambda a, b: a if a is b else jnp.where(pred, a, b), a_tree, b_tree)
+
+
+def _merge3(pred_c, pred_b, a_tree, b_tree, c_tree):
+    """c where pred_c, else b where pred_b, else a — identity-skipping.
+    REQUIRES pred_c => pred_b (true at the lockdown call site: the hard
+    drop only happens when the lockdown fired), so the merge nests as
+    where(pred_b, where(pred_c, c, b), a) and leaves c shares with b cost
+    nothing."""
+    def f(a, b, c):
+        inner = b if b is c else jnp.where(pred_c, c, b)
+        return a if inner is a else jnp.where(pred_b, inner, a)
+    return jax.tree.map(f, a_tree, b_tree, c_tree)
+
+
 def _uniform(key, counter, table):
     if table is None:
         return jax.random.uniform(jax.random.fold_in(key, counter.astype(jnp.uint32)),
@@ -196,7 +218,7 @@ def _garbage_block(cfg, v: PlayerState, amount, freeze: bool):
     v2 = v.replace(
         g_count=g_count, g_delay=g_delay, g_size=size, g_min_remaining=g_min,
         lines_blocked=v.lines_blocked + blocked)
-    out = jax.tree.map(lambda a, b: jnp.where(empty0, a, b), v, v2)
+    out = _merge(empty0, v, v2)
     return out, jnp.where(empty0, amount, amount - blocked)
 
 
@@ -320,7 +342,7 @@ def _send_lines(cfg, v: PlayerState, n_cleared, n_garb):
     v_cl, sent = _garbage_block(cfg, v, n_cleared - 1, freeze=True)
     v_cl = v_cl.replace(lines_sent=v_cl.lines_sent + sent)
     v_cl = _combo_increase(cfg, v_cl, n_cleared)
-    v_out = jax.tree.map(lambda a, b: jnp.where(no_clear, a, b), v_nc, v_cl)
+    v_out = _merge(no_clear, v_nc, v_cl)
     return v_out, jnp.where(no_clear, 0, sent)
 
 
@@ -400,16 +422,14 @@ def _delay_check(cfg, v: PlayerState, dt, tables):
     gravity = (t - v.drop_delay_time) > dd
     v = v.replace(drop_delay_time=jnp.where(gravity, t, v.drop_delay_time))
     vg, _ = _game_mdown(cfg, v)
-    v = jax.tree.map(lambda a, b: jnp.where(gravity, b, a), v, vg)
+    v = _merge(~gravity, v, vg)
 
     # Lockdown (DropDelay.cpp:43-48): one more mDown attempt, else hard drop
     lock_fire = v.lockdown & (t > v.lockdown_time)
     vl, moved = _game_mdown(cfg, v)
     vh, hd_sent = _hd_full(cfg, vl, tables)
     do_hd = lock_fire & ~moved
-    v = jax.tree.map(
-        lambda a, b, c: jnp.where(do_hd, c, jnp.where(lock_fire, b, a)),
-        v, vl, vh)
+    v = _merge3(do_hd, lock_fire, v, vl, vh)
     # early return skips the garbage/combo block below
     early = do_hd
 
@@ -418,22 +438,22 @@ def _delay_check(cfg, v: PlayerState, dt, tables):
     add_g = jnp.floor(x.incoming_lines).astype(I32)
     x = x.replace(incoming_lines=x.incoming_lines - add_g.astype(F32))
     xa = _garbage_add(cfg, x, add_g)
-    x = jax.tree.map(lambda a, b: jnp.where(add_g > 0, b, a), x, xa)
+    x = _merge(add_g <= 0, x, xa)
 
     x, combo_sent = _combo_check(cfg, x)
     xp, rem = _garbage_block(cfg, x, combo_sent, freeze=False)
     xp = xp.replace(lines_sent=xp.lines_sent + rem)
     pay = combo_sent > 0
-    x = jax.tree.map(lambda a, b: jnp.where(pay, b, a), x, xp)
+    x = _merge(~pay, x, xp)
     sent = jnp.where(pay, rem, 0)
 
     x, popped = _garbage_check(cfg, x)
     xg, died_g = _push_garbage(cfg, x, tables)
-    x = jax.tree.map(lambda a, b: jnp.where(popped, b, a), x, xg)
+    x = _merge(~popped, x, xg)
     died = popped & died_g
     rest_ret = jnp.where(died, I32(-1), sent)
 
-    v_out = jax.tree.map(lambda a, b: jnp.where(early, a, b), v, x)
+    v_out = _merge(early, v, x)
     ret = jnp.where(early, hd_sent, rest_ret)
     return v_out, ret
 
@@ -504,7 +524,7 @@ def make_phase_place(cfg, state: EngineState, use, r_rel, x_target) -> EngineSta
         v = _get(ps, i)
         active = (~v.dead) & use[i]
         v2 = apply_place(cfg, v, r_rel[i], x_target[i])
-        ps = _put(ps, i, v2, active)
+        ps = _put(ps, i, v2, active, base=v)
     return state.replace(players=ps)
 
 
@@ -697,10 +717,21 @@ def _get(ps, i):
     return jax.tree.map(lambda a: a[i], ps)
 
 
-def _put(ps, i, view, pred):
-    """Write view back into slot i of ps where pred (scalar bool) holds."""
-    return jax.tree.map(
-        lambda full, one: jnp.where(pred, full.at[i].set(one), full), ps, view)
+def _put(ps, i, view, pred, base=None):
+    """Write view back into slot i of ps where pred (scalar bool) holds.
+    ``base``: the _get(ps, i) view the subroutine started from — leaves the
+    subroutine never replaced are identical objects and are skipped.  The
+    select happens on the (row-sized) slice, not the full (P, ...) leaf."""
+    if base is None:
+        return jax.tree.map(
+            lambda full, one: full.at[i].set(jnp.where(pred, one, full[i])),
+            ps, view)
+
+    def f(full, one, orig):
+        if one is orig:
+            return full
+        return full.at[i].set(jnp.where(pred, one, orig))
+    return jax.tree.map(f, ps, view, base)
 
 
 def finish_phase(cfg: EngineConfig, state: EngineState, dt, tables) -> EngineState:
@@ -718,7 +749,7 @@ def finish_phase(cfg: EngineConfig, state: EngineState, dt, tables) -> EngineSta
         v2, sent = _hd_finish(cfg, v, tables)
         died = sent == -1
         v2 = v2.replace(dead=v2.dead | died)
-        ps = _put(ps, i, v2, active)
+        ps = _put(ps, i, v2, active, base=v)
         inc = _distribute(cfg, ps.incoming_lines, i, jnp.maximum(sent, 0))
         do_inc = active & (~died) & (sent > 0)
         ps = ps.replace(incoming_lines=jnp.where(do_inc, inc, ps.incoming_lines))
@@ -738,8 +769,8 @@ def finish_phase(cfg: EngineConfig, state: EngineState, dt, tables) -> EngineSta
             lines_cleared_snap=v2.lines_cleared,
             incoming_count=garbage_count(cfg, v2),
         )
-        v_out = jax.tree.map(lambda a, b: jnp.where(died, a, b), v2, v3)
-        ps = _put(ps, i, v_out, active)
+        v_out = _merge(died, v2, v3)
+        ps = _put(ps, i, v_out, active, base=v)
         inc = _distribute(cfg, ps.incoming_lines, i, jnp.maximum(sent, 0))
         do_inc = active & (~died) & (sent > 0)
         ps = ps.replace(incoming_lines=jnp.where(do_inc, inc, ps.incoming_lines))
@@ -757,7 +788,7 @@ def make_phase_macro(cfg, state: EngineState, use, r, tr) -> EngineState:
         v = _get(ps, i)
         active = (~v.dead) & use[i]
         v2 = apply_macro(cfg, v, r[i], tr[i])
-        ps = _put(ps, i, v2, active)
+        ps = _put(ps, i, v2, active, base=v)
     return state.replace(players=ps)
 
 
@@ -774,7 +805,7 @@ def make_phase_keys(cfg, state: EngineState, keys) -> EngineState:
             return apply_key(cfg, x, keys[i, k])
 
         v2 = jax.lax.fori_loop(0, n_keys, body, v)
-        ps = _put(ps, i, v2, active)
+        ps = _put(ps, i, v2, active, base=v)
     return state.replace(players=ps)
 
 
