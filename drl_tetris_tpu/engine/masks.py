@@ -102,6 +102,198 @@ def placement_boards(cfg: EngineConfig, occ, garb, piece, cur_rot):
     return mask, occ_after, cleared
 
 
+# ---------------------------------------------------------------------------
+# Exact finesse-set parity with TestField's heuristic search
+# (TestField.cpp:174-410).  The reference search is deliberately incomplete
+# and has bug-compatible quirks (documented inline); this reproduces its
+# EMISSION DECISIONS — the set of rest poses useFinesseMove fires for — not
+# its key paths.  Validated entry-for-entry against the oracle's
+# oracle_get_finesse_rests (tests/test_finesse.py).
+# ---------------------------------------------------------------------------
+
+# doWallKick's reverse probe sequence (TestField.cpp:304-309), in order.
+_REV_PROBES = ((0, -1), (-1, 0), (1, 0), (-1, -1), (1, -1), (-2, 0), (2, 0))
+
+I32_BIG = jnp.int32(1 << 20)
+
+
+def _climb_to(cfg, ext, rows, px, py):
+    """moveUp's climb (TestField.cpp:392-410): move up while possible,
+    contiguously; returns the final posY."""
+    H = cfg.height
+    ys = jnp.arange(H, dtype=I32)
+    first_block = I32_BIG
+    for i in range(4):
+        sh = rows[i] << (px + 4).astype(jnp.uint32)
+        hit = (ext & sh) != 0                               # (H,)
+        base = py + i
+        # nearest occupied row strictly above piece row i
+        maxhit = jnp.max(jnp.where(hit & (ys <= base - 1), ys, -I32_BIG))
+        u_i = jnp.minimum(base - maxhit, base + 1)          # +1: top bound
+        first_block = jnp.minimum(first_block,
+                                  jnp.where(rows[i] == 0, I32_BIG, u_i))
+    return py - jnp.maximum(first_block - 1, 0)
+
+
+def _walk(cfg, ext, rows, px, py, direction: int, active=None):
+    """tryLeft/tryRight (TestField.cpp:202-238): step sideways, climb after
+    every successful step, succeed when posY reaches 0.  Returns
+    (px', py', success) — the final pose is where the walk stopped (the
+    reference does NOT restore it; callers exploit that, see
+    _walk_continuous)."""
+    W = cfg.width
+    if active is None:
+        active = jnp.bool_(True)
+
+    def body(_, c):
+        px, py, success, active = c
+        ok = active & K.possible(cfg, ext, rows, px + direction, py)
+        px2 = px + direction
+        py2 = _climb_to(cfg, ext, rows, px2, py)
+        px = jnp.where(ok, px2, px)
+        py = jnp.where(ok, py2, py)
+        success = success | (ok & (py == 0))
+        return px, py, success, ok & ~success
+
+    px, py, success, _ = jax.lax.fori_loop(
+        0, W + 4, body, (px, py, jnp.bool_(False), active))
+    return px, py, success
+
+
+def _walk_continuous(cfg, ext, rows, px, py):
+    """finesseIsPossible's B-then-C (TestField.cpp:195-199) and tryUp's
+    fallback (TestField.cpp:252-258): tryRight is evaluated from wherever
+    tryLeft LEFT the piece (no restore — bug-compatible)."""
+    lx, ly, ls = _walk(cfg, ext, rows, px, py, -1)
+    _, _, rs = _walk(cfg, ext, rows, lx, ly, +1)
+    return ls | rs
+
+
+def _try_up(cfg, ext, rows, px, py):
+    """tryUp (TestField.cpp:240-258) minus the path bookkeeping: climb, done
+    if posY==0, else the continuous left-then-right walk."""
+    py1 = _climb_to(cfg, ext, rows, px, py)
+    return (py1 == 0) | _walk_continuous(cfg, ext, rows, px, py1)
+
+
+def _do_wallkick(cfg, ext, piece, rot0, px, py):
+    """doWallKick (TestField.cpp:280-356) as a select chain.
+
+    Scans rotations r2 = 0..3 (skipping rot0) in order; the FIRST r2 that is
+    possible at the same position (terminal: only tryUp decides) or at one
+    of the 7 reverse probes (break: verify the forward rotation lands back
+    at (px, py), then tryUp / tryLeft / tryRight) decides the outcome."""
+    taken = jnp.bool_(False)
+    s_is_same = jnp.bool_(False)
+    s_rows = jnp.zeros((4,), jnp.uint32)
+    s_r2 = I32(0)
+    s_dx = I32(0)
+    s_dy = I32(0)
+    for r2 in range(4):
+        rows2 = K.lookup_rows(piece, jnp.int32(r2))
+        skip = rot0 == r2
+        same_ok = K.possible(cfg, ext, rows2, px, py)
+        dfound = jnp.bool_(False)
+        ddx = I32(0)
+        ddy = I32(0)
+        for (dx, dy) in _REV_PROBES:
+            ok = K.possible(cfg, ext, rows2, px + dx, py + dy)
+            hit = ok & ~dfound
+            ddx = jnp.where(hit, dx, ddx)
+            ddy = jnp.where(hit, dy, ddy)
+            dfound = dfound | ok
+        cand = (~skip) & (same_ok | dfound)
+        take = cand & ~taken
+        s_is_same = jnp.where(take, same_ok, s_is_same)
+        s_rows = jnp.where(take, rows2, s_rows)
+        s_r2 = jnp.where(take, r2, s_r2)
+        s_dx = jnp.where(take, ddx, s_dx)
+        s_dy = jnp.where(take, ddy, s_dy)
+        taken = taken | cand
+
+    # same-position branch (TestField.cpp:294-302): tryUp only
+    same_res = _try_up(cfg, ext, s_rows, px, py)
+
+    # displaced branch (TestField.cpp:317-353)
+    turn = jnp.mod(rot0 - s_r2, 4)
+    dpx, dpy = px + s_dx, py + s_dy
+    _, _, fx, fy, _ = K.try_rotate(cfg, ext, piece, s_r2, dpx, dpy, turn)
+    valid = (fx == px) & (fy == py)     # round-trip position check (:332)
+    a = _try_up(cfg, ext, s_rows, dpx, dpy)
+    _, _, b = _walk(cfg, ext, s_rows, dpx, dpy, -1)
+    _, _, c = _walk(cfg, ext, s_rows, dpx, dpy, +1)  # restored start (:346)
+    disp_res = valid & (a | b | c)
+
+    return taken & jnp.where(s_is_same, same_res, disp_res)
+
+
+def _reverse_wallkick(cfg, ext, piece, rot0, px, py):
+    """reverseWallkick (TestField.cpp:261-278).  Caller guarantees the piece
+    is horizontally locked.  Pieces S/Z/I (2/3/4) get a second chance after
+    r180KeepPos' raw flip with position compensation (:358-390)."""
+    s1 = _do_wallkick(cfg, ext, piece, rot0, px, py)
+    rot2 = jnp.mod(rot0 + 2, 4)
+    # compensation deltas by post-flip rotation: I(4)/Z(3): (+x,+y,-x,-y);
+    # S(2): the opposite signs
+    dx34 = jnp.where(rot2 == 0, 1, jnp.where(rot2 == 2, -1, 0))
+    dy34 = jnp.where(rot2 == 1, 1, jnp.where(rot2 == 3, -1, 0))
+    is2 = piece == 2
+    dx = jnp.where(is2, -dx34, dx34)
+    dy = jnp.where(is2, -dy34, dy34)
+    s2 = _do_wallkick(cfg, ext, piece, rot2, px + dx, py + dy)
+    eligible2 = (piece == 2) | (piece == 3) | (piece == 4)
+    return jnp.where(piece == 6, False, s1 | (eligible2 & s2))
+
+
+def _finesse_possible(cfg, ext, piece, rot, px, py):
+    """finesseIsPossible (TestField.cpp:189-200) for one rest pose."""
+    rows = K.lookup_rows(piece, rot)
+    can_l = K.possible(cfg, ext, rows, px - 1, py)
+    can_r = K.possible(cfg, ext, rows, px + 1, py)
+    h_locked = (~can_l) & (~can_r)
+    wk = _reverse_wallkick(cfg, ext, piece, rot, px, py)
+    walk = _walk_continuous(cfg, ext, rows, px, py)
+    return jnp.where(h_locked, wk, walk)
+
+
+@partial(jax.jit, static_argnums=0)
+def finesse_rests(cfg: EngineConfig, occ, piece, cur_rot):
+    """The exact set of finesse emission rests of TestField's search:
+    (4, W, H) bool indexed [rot, posX+1, posY].  For each enumerated
+    top-drop candidate (rot, x): every free pose at y in
+    [top_rest+2, H-2] is dropped to its rest and tested with
+    finesseIsPossible (tryAllFinesseMoves, TestField.cpp:174-187).
+
+    Not a hot-path kernel: used by the action-list API and parity tests
+    (the training agents act on the top-drop grid)."""
+    H, W = cfg.height, cfg.width
+    ext = K.ext_board(cfg, occ)
+    mask_td, rest_td = top_drop(cfg, occ, piece, cur_rot)
+    rots, xs = _grid_coords(cfg)
+    n_sym = jnp.asarray(N_SYM_ROT)[piece]
+    eff_rot = jnp.where(n_sym == 1, cur_rot, rots)
+    enum_ok = rots < n_sym
+
+    def per_cell(r, x, td_ok, r0):
+        rows = K.lookup_rows(piece, r)
+
+        def per_y(y0):
+            free = K.possible(cfg, ext, rows, x, y0)
+            d = K.drop_distance(cfg, ext, rows, x, y0)
+            yr = y0 + d
+            cand = td_ok & free & (y0 >= r0 + 2) & (y0 <= H - 2)
+            ok = cand & _finesse_possible(cfg, ext, piece, r, x, yr)
+            return ok, yr
+
+        oks, yrs = jax.vmap(per_y)(jnp.arange(H, dtype=I32))
+        return jnp.any(oks[None, :] & (yrs[None, :] ==
+                                       jnp.arange(H, dtype=I32)[:, None]),
+                       axis=1)                                # (H,)
+
+    rest = jax.vmap(jax.vmap(per_cell))(eff_rot, xs, mask_td, rest_td)
+    return rest & (enum_ok & mask_td)[:, :, None]
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def reachable(cfg: EngineConfig, occ, piece, cur_rot, start, max_iters: int = 0):
     """Full reachability of (rot, x, y) piece states from the spawn pose via

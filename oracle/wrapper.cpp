@@ -201,6 +201,68 @@ int oracle_get_actions(int p, int* out, int max_actions, int max_len) {
     return n;
 }
 
+// Finesse-intent dump: replays TestField's enumeration (getMask,
+// TestField.cpp:64-111) and tryAllFinesseMoves' drive loop
+// (TestField.cpp:174-187) but records the REST POSE (rot, posX, posY) at
+// every point where useFinesseMove would emit an entry — the
+// path-independent "intent set" the JAX finesse kernel must reproduce.
+// Also appends the top-drop rests (tagged kind=0 vs finesse kind=1).
+// out rows: [kind, rot, posX, posY] x4 ints.  Returns row count.
+int oracle_get_finesse_rests(int p, int* out, int max_rests) {
+    GamePlay& g = g_players[p];
+    TestField tf;
+    tf.square = g.field.square;
+    tf.setPiece(g.field.piece);
+    int n = 0;
+    auto emit = [&](int kind) {
+        if (n < max_rests) {
+            out[n * 4 + 0] = kind;
+            out[n * 4 + 1] = tf.piece.current_rotation;
+            out[n * 4 + 2] = tf.piece.posX;
+            out[n * 4 + 3] = tf.piece.posY;
+        }
+        ++n;
+    };
+    auto drive = [&]() {                  // findNextMove minus the emission
+        tf.hd();
+        emit(0);                          // top-drop rest
+        auto backup = tf.piece;           // tryAllFinesseMoves
+        for (int y = tf.piece.posY + 2; y < FIELD_HEIGHT - 1; ++y) {
+            tf.piece = backup;
+            tf.piece.posY = y;
+            if (tf.possible()) {
+                tf.hd();
+                y = tf.piece.posY;
+                if (tf.finesseIsPossible())
+                    emit(1);
+            }
+        }
+        tf.piece = backup;
+    };
+    if (tf.piece.piece == 6) {
+        for (int x = -1; x < FIELD_WIDTH - 1; ++x) {
+            tf.piece.posX = x;
+            tf.piece.posY = 0;
+            if (!tf.possible()) continue;
+            drive();
+        }
+    } else {
+        int n_rot = (tf.piece.piece == 4 || tf.piece.piece == 2 ||
+                     tf.piece.piece == 3) ? 2 : 4;
+        for (int x = -1; x < FIELD_WIDTH - 1; ++x) {
+            for (int r = 0; r < n_rot; ++r) {
+                tf.piece.posX = x;
+                tf.piece.posY = 0;
+                while (tf.piece.current_rotation != r)
+                    tf.piece.rcw();
+                if (!tf.possible()) continue;
+                drive();
+            }
+        }
+    }
+    return n;
+}
+
 // Reference RNG probe: the exact float stream randomizer.h's
 // UniformRealDistribution<float> produces from mt19937(short(seed)) — used
 // to validate the host-side Python replica that feeds injected streams.

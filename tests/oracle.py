@@ -29,6 +29,7 @@ def _load():
     lib = ctypes.CDLL(_LIB)
     lib.oracle_step.restype = ctypes.c_int
     lib.oracle_get_actions.restype = ctypes.c_int
+    lib.oracle_get_finesse_rests.restype = ctypes.c_int
     lib.oracle_last_winner.restype = ctypes.c_int
     lib.oracle_round_over.restype = ctypes.c_int
     return lib
@@ -94,6 +95,14 @@ class Oracle:
             end = np.argmax(row == -1)
             acts.append(row[:end].tolist())
         return acts
+
+    def get_finesse_rests(self, p, max_rests=8192):
+        """(kind, rot, posX, posY) rows: kind 0 = top-drop rest, 1 = finesse
+        emission rest (oracle_get_finesse_rests in wrapper.cpp)."""
+        out = np.zeros(max_rests * 4, np.int32)
+        n = self.lib.oracle_get_finesse_rests(
+            p, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_rests)
+        return out.reshape(max_rests, 4)[:min(n, max_rests)].copy()
 
     @property
     def round_over(self):
