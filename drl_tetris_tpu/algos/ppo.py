@@ -58,6 +58,7 @@ class PPOConfig:
     minibatch_size: int = 64
     compress_advantages: Optional[CompressorConfig] = CompressorConfig()
     compress_value_loss: Optional[CompressorConfig] = CompressorConfig()
+    augment_data: bool = False        # mirror augmentation (presets.py:181)
 
     @property
     def effective_gamma(self) -> float:
@@ -119,6 +120,29 @@ class PPOState:
     adv_comp: CompressorState
     vloss_comp: CompressorState
     update_count: jnp.ndarray  # () i32
+
+
+def augment_batch(engine_cfg: EngineConfig, batch: Batch) -> Batch:
+    """Mirror augmentation (trajectory.augment_data, trajectory.py:88-109):
+    concatenate a horizontally-reflected copy of every sample — fields
+    flipped, translation t -> W-1-t, piece ids through the L<->J / S<->Z
+    swap.  Faithful quirks: rotation is NOT remapped and the x/y scalars
+    are NOT mirrored (state_processors.py:44-53)."""
+    from drl_tetris_tpu.env.observations import PIECE_SWAP_NP
+    W = engine_cfg.width
+    occ = batch.occ
+    rev = jnp.zeros_like(occ)
+    for x in range(W):
+        bit = (occ >> jnp.uint32(x)) & jnp.uint32(1)
+        rev = rev | (bit << jnp.uint32(W - 1 - x))
+    swap = jnp.asarray(PIECE_SWAP_NP)
+    vec_m = jnp.concatenate(
+        [batch.vec[..., :5], batch.vec[..., 5:][..., PIECE_SWAP_NP]], axis=-1)
+    mirrored = Batch(
+        occ=rev, vec=vec_m, piece=swap[batch.piece], rot=batch.rot,
+        trans=W - 1 - batch.trans, old_prob=batch.old_prob,
+        advantage=batch.advantage, target_v=batch.target_v)
+    return jax.tree.map(lambda a, b: jnp.concatenate([a, b]), batch, mirrored)
 
 
 def segment_to_batch(cfg: PPOConfig, seg: Segment, v_piece_last) -> Tuple[Batch, dict]:
@@ -240,6 +264,8 @@ def make_ppo_update(engine_cfg: EngineConfig, net, cfg: PPOConfig,
 
     @jax.jit
     def update_fn(state: PPOState, batch: Batch, key):
+        if cfg.augment_data:
+            batch = augment_batch(engine_cfg, batch)
         B = batch.piece.shape[0]
         n_mb = B // cfg.minibatch_size
 

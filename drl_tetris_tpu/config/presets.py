@@ -226,6 +226,7 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         minibatch_size=s.get("minibatch_size", 64),
         compress_advantages=s.get("compress_advantages", None),
         compress_value_loss=s.get("compress_value_loss", None),
+        augment_data=s.get("augment_data", False),
     )
     estimator = EstimatorConfig(
         k_step=s.get("n_step_value_estimates", 5),

@@ -193,3 +193,46 @@ def test_convthendense_shapes():
     params = net.init(jax.random.PRNGKey(0), vec, vis)
     V, A = net.apply(params, vec, vis)
     assert V.shape == (B, 1, 1, 7) and A.shape == (B, 4, 10, 7)
+
+
+def test_augment_batch_mirror_semantics():
+    """trajectory.augment_data parity properties: doubled batch, field
+    mirror is an involution, t -> W-1-t, piece through the L/J S/Z swap,
+    rot/x/y untouched (the reference's faithful quirks)."""
+    from drl_tetris_tpu.algos.ppo import Batch, augment_batch
+    from drl_tetris_tpu.engine.core import EngineConfig
+    cfg = EngineConfig()
+    rng = np.random.RandomState(0)
+    B, H, W = 6, cfg.height, cfg.width
+    occ = jnp.asarray(rng.randint(0, 1 << W, (B, 2, H)), jnp.uint32)
+    vec = jnp.asarray(rng.rand(B, 2, 12), jnp.float32)
+    batch = Batch(
+        occ=occ, vec=vec,
+        piece=jnp.asarray(rng.randint(0, 7, (B,)), jnp.int32),
+        rot=jnp.asarray(rng.randint(0, 4, (B,)), jnp.int32),
+        trans=jnp.asarray(rng.randint(0, W, (B,)), jnp.int32),
+        old_prob=jnp.ones((B,)), advantage=jnp.ones((B,)),
+        target_v=jnp.zeros((B,)))
+    out = augment_batch(cfg, batch)
+    assert out.piece.shape[0] == 2 * B
+    # first half unchanged
+    np.testing.assert_array_equal(np.asarray(out.occ[:B]), np.asarray(occ))
+    # mirror of the mirror is the original field
+    out2 = augment_batch(cfg, Batch(*[a[B:] for a in out]))
+    np.testing.assert_array_equal(np.asarray(out2.occ[B:]), np.asarray(occ))
+    # grid mirror: bit x in original == bit W-1-x in mirrored
+    g0 = (np.asarray(occ)[..., None] >> np.arange(W)) & 1
+    g1 = (np.asarray(out.occ[B:])[..., None] >> np.arange(W)) & 1
+    np.testing.assert_array_equal(g1, g0[..., ::-1])
+    np.testing.assert_array_equal(np.asarray(out.trans[B:]),
+                                  W - 1 - np.asarray(batch.trans))
+    swap = np.asarray([1, 0, 3, 2, 4, 5, 6])
+    np.testing.assert_array_equal(np.asarray(out.piece[B:]),
+                                  swap[np.asarray(batch.piece)])
+    np.testing.assert_array_equal(np.asarray(out.rot[B:]),
+                                  np.asarray(batch.rot))
+    # vec: scalars unchanged, nextpiece one-hot permuted
+    np.testing.assert_array_equal(np.asarray(out.vec[B:, :, :5]),
+                                  np.asarray(vec[:, :, :5]))
+    np.testing.assert_array_equal(np.asarray(out.vec[B:, :, 5:]),
+                                  np.asarray(vec[:, :, 5:])[..., swap])
