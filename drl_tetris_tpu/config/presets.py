@@ -198,7 +198,7 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         extra_rewards=s.get("extra_rewards", False),
     )
     model = ModelConfig(
-        compute_dtype=s.get("compute_dtype", "float32"),
+        compute_dtype=s.get("compute_dtype", "bfloat16"),
         n_pieces=7,
         tower_layers=s.get("tower_layers", 5),
         tower_filters=s.get("tower_filters", 64),

@@ -209,10 +209,13 @@ class KeyboardConv(nn.Module):
 class ModelConfig:
     """resblock_kbd settings (experiments/sventon_ppo.py:46-58 defaults).
 
-    compute_dtype: activation/conv compute precision.  'bfloat16' runs the
-    towers on the MXU at full rate with float32 params and float32 heads
-    (policy softmax / value tanh stay f32); 'float32' is bit-stable."""
-    compute_dtype: str = "float32"
+    compute_dtype: activation/conv compute precision.  'bfloat16' (the
+    default) runs the towers on the MXU at full rate with float32 params
+    and float32 heads (policy softmax / value tanh stay f32) — measured
+    1.6x faster per sample with a learning curve inside seed variance of
+    f32 (entropy 3.68 -> ~0.6 over 1.2M steps in both); set 'float32' for
+    bit-stable comparisons."""
+    compute_dtype: str = "bfloat16"
     n_rotations: int = 4
     n_pieces: int = 7
     tower_layers: int = 5
