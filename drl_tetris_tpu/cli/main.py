@@ -71,18 +71,14 @@ def cmd_train(args):
     def make_league(net):
         if not args.league_every:
             return None
-        if cfg.flavour == "sixten":
-            # the league's match policy samples from an action head; the
-            # sixten VNet has none (world-model search) — not wired yet
-            print("[league] sixten flavour not supported; disabled")
-            return None
         import jax.numpy as jnp
         from drl_tetris_tpu.runtime.league import TrainingLeague
         H, W = cfg.env.engine.height, cfg.env.engine.width
         rnd = net.init(jax.random.PRNGKey(0xE10),
                        [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        kind = "world_model" if cfg.flavour == "sixten" else "macro"
         return TrainingLeague(cfg.env, net, rnd, out_dir=ckpt_dir,
-                              games_per_pair=args.league_games)
+                              games_per_pair=args.league_games, kind=kind)
 
     def league_tick(league, it, params, total):
         if league is not None and it % args.league_every == 0:

@@ -162,6 +162,47 @@ class TetrisVectorEnv:
             rounds_played=state.rounds_played + done.astype(jnp.int32),
         ), reward, done
 
+    @partial(jax.jit, static_argnums=0)
+    def step_mixed(self, state: EnvState, use_place, rotations, t_or_x
+                   ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Per-game action-kind dispatch: games where ``use_place`` holds
+        interpret (rotations, t_or_x) as a column-targeted placement
+        (step_place), the rest as the (r, t) macro (step).  Used by
+        evaluation when a world-model agent (SIXten) meets a macro agent
+        (SVENton) in the same vectorized match — both make-phases are
+        computed and selected per game (eval-only cost)."""
+        cfg = self.cfg
+        eng = state.engine
+        N = self.n_games
+        player = state.current_player
+        use = jnp.arange(2)[None, :] == player[:, None]
+        r2 = jnp.where(use, rotations[:, None], 0)
+        a2 = jnp.where(use, t_or_x[:, None], 0)
+        dt = jnp.int32(cfg.time_elapsed_each_action)
+
+        def one(e, u, rr, aa, pl):
+            m1 = S.make_phase_macro(cfg.engine, e, u, rr, aa)
+            m2 = S.make_phase_place(cfg.engine, e, u, rr, aa)
+            m = jax.tree.map(lambda a, b: jnp.where(pl, b, a), m1, m2)
+            new = S.finish_phase(cfg.engine, m, dt, None)
+            return jax.tree.map(
+                lambda a, b: jnp.where(e.round_over, a, b), e, new)
+
+        eng = jax.vmap(one)(eng, use, r2, a2, use_place)
+        done = eng.round_over
+        reward = _reward(cfg, eng, player, done)
+        both = jax.vmap(lambda k: jax.random.split(k))(state.key)
+        key, reset_keys = both[:, 0], both[:, 1]
+        eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
+        eng = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((N,) + (1,) * (a.ndim - 1)), b, a),
+            eng, eng_reset)
+        return EnvState(
+            engine=eng, current_player=1 - player, key=key,
+            rounds_played=state.rounds_played + done.astype(jnp.int32),
+        ), reward, done
+
     # -- observation -------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 3))
     def observe(self, state: EnvState, player=None, mirrored=False) -> Obs:

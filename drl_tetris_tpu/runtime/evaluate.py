@@ -28,19 +28,35 @@ class EvalAgent:
     params: object
     net: object
     distribution: str = "argmax"   # eval_distribution (presets.py:128)
+    # "macro": action-head nets emitting the (r, t) macro (SVENton/QNet);
+    # "world_model": value-only nets acting by one-ply search over legal
+    # placements (SIXten's VNet) — stepped with column-targeted placements.
+    kind: str = "macro"
+    epsilon: float = 0.05          # for epsilon-distributions (1.0 = random)
 
 
 import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, net1, dist1):
+def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
+               net1, dist1, kind1, eps1):
     """Cache the jitted per-tick match function per (env, nets, dists) so a
     round-robin doesn't recompile for every pairing (flax Modules are
     hashable frozen dataclasses)."""
     env = TetrisVectorEnv(env_cfg, n_games)
-    p0 = make_policy_fn(env, net0, dist0)
-    p1 = make_policy_fn(env, net1, dist1)
+
+    def make_pol(net, dist, kind, eps):
+        if kind == "world_model":
+            from drl_tetris_tpu.algos.sixten import make_sixten_policy
+            d = {"pi": "boltzmann", "argmax": "argmax",
+                 "epsilon": "epsilon"}.get(dist, dist)
+            return make_sixten_policy(env, net, distribution=d, epsilon=eps)
+        return make_policy_fn(env, net, dist, epsilon=eps)
+
+    p0 = make_pol(net0, dist0, kind0, eps0)
+    p1 = make_pol(net1, dist1, kind1, eps1)
+    wm = (kind0 == "world_model", kind1 == "world_model")
 
     @jax.jit
     def tick(params0, params1, st, key):
@@ -50,7 +66,12 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, net1, dist1):
         mine = st.current_player == 0
         r = jnp.where(mine, r0, r1)
         t = jnp.where(mine, t0, t1)
-        return env.step(st, r, t)
+        if not any(wm):
+            return env.step(st, r, t)
+        if all(wm):
+            return env.step_place(st, r, t)
+        use_place = jnp.where(mine, wm[0], wm[1])
+        return env.step_mixed(st, use_place, r, t)
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def ticks(params0, params1, st, key, n: int = 16):
@@ -70,13 +91,9 @@ def play_match(env_cfg: EnvConfig, agents: Tuple[EvalAgent, EvalAgent],
                render: bool = False) -> Tuple[int, int, int]:
     """agents[0] sits as player 0 in every game.  Returns (wins0, wins1,
     unfinished)."""
-    env, tick, _ = _match_fns(env_cfg, n_games, agents[0].net,
-                              agents[0].distribution, agents[1].net,
-                              agents[1].distribution)
-
-    _, _, ticks = _match_fns(env_cfg, n_games, agents[0].net,
-                             agents[0].distribution, agents[1].net,
-                             agents[1].distribution)
+    sig = tuple(x for a in agents
+                for x in (a.net, a.distribution, a.kind, a.epsilon))
+    env, tick, ticks = _match_fns(env_cfg, n_games, *sig)
     st = env.reset(jax.random.PRNGKey(seed))
     key = jax.random.PRNGKey(seed + 1)
     finished = np.zeros(n_games, bool)

@@ -29,15 +29,21 @@ class TrainingLeague:
 
     def __init__(self, env_cfg: EnvConfig, net, random_params,
                  out_dir: Optional[str] = None, games_per_pair: int = 16,
-                 max_pool: int = 4, distribution: str = "argmax"):
+                 max_pool: int = 4, distribution: str = "argmax",
+                 kind: str = "macro"):
         self.env_cfg = env_cfg
         self.net = net
         self.distribution = distribution
+        self.kind = kind
         self.games_per_pair = games_per_pair
         self.pool: Deque[EvalAgent] = collections.deque(maxlen=max_pool)
         self.history = LeagueHistory(out_dir=out_dir, anchor="random")
-        self.anchor = EvalAgent(name="random", params=random_params, net=net,
-                                distribution="pi")
+        # the anchor plays at maximum entropy: "pi" sampling for macro
+        # agents, uniform-over-legal-placements for world-model agents
+        self.anchor = EvalAgent(
+            name="random", params=random_params, net=net,
+            distribution="pi" if kind == "macro" else "epsilon",
+            kind=kind, epsilon=1.0)
         self.history.steps["random"] = 0
 
     def evaluate(self, params, step: int, seed: int = 0) -> Dict[str, float]:
@@ -45,7 +51,8 @@ class TrainingLeague:
         fold the results into the league, return the re-fit ratings."""
         name = f"step_{step}"
         snap = EvalAgent(name=name, params=jax.tree.map(lambda a: a, params),
-                         net=self.net, distribution=self.distribution)
+                         net=self.net, distribution=self.distribution,
+                         kind=self.kind)
         opponents = list(self.pool) + [self.anchor]
         board = round_robin(self.env_cfg, [snap] + opponents,
                             games_per_pair=self.games_per_pair, seed=seed)

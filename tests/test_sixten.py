@@ -81,3 +81,22 @@ def test_rollout_and_training_iteration():
     # second iteration had >= 8 samples -> a training step ran
     assert "tot_loss" in tr.stats
     assert np.isfinite(tr.stats["tot_loss"])
+
+
+def test_mixed_match_world_model_vs_macro():
+    """A VNet world-model agent and a PPONet macro agent play in the same
+    vectorized match (env.step_mixed dispatch per acting seat)."""
+    from drl_tetris_tpu.models.nets import PPONet
+    from drl_tetris_tpu.runtime.evaluate import EvalAgent, play_match
+    cfg = EnvConfig()
+    H, W = cfg.engine.height, cfg.engine.width
+    dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+    vnet = VNet(TINY, full_network=True)
+    pnet = PPONet(TINY, full_network=True)
+    a = EvalAgent(name="sixten", params=vnet.init(jax.random.PRNGKey(0), *dummy),
+                  net=vnet, distribution="argmax", kind="world_model")
+    b = EvalAgent(name="sventon", params=pnet.init(jax.random.PRNGKey(1), *dummy),
+                  net=pnet, distribution="argmax", kind="macro")
+    w0, w1, undecided = play_match(cfg, (a, b), n_games=2, max_ticks=16,
+                                   seed=3)
+    assert w0 + w1 + undecided == 2
