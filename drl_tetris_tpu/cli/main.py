@@ -61,7 +61,8 @@ def _headline(stats):
 
 def cmd_train(args):
     import jax
-    from drl_tetris_tpu.utils.metrics import MetricsWriter, timekeeper
+    from drl_tetris_tpu.utils.metrics import (MetricsWriter, fetch_stats,
+                                               timekeeper)
     from drl_tetris_tpu.runtime import checkpoint as ckpt
 
     cfg = _load_cfg(args)
@@ -119,7 +120,7 @@ def cmd_train(args):
                     jax.block_until_ready(stats)
                 total += steps_per_iter
                 it += 1
-                mw.update({k2: float(v) for k2, v in stats.items()}, total)
+                mw.update(fetch_stats(stats), total)
                 if it % args.log_every == 0:
                     print(f"[{total:>12,} steps] " + _headline(stats), flush=True)
                 if it % args.save_every == 0:

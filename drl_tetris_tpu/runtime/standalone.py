@@ -24,6 +24,7 @@ from drl_tetris_tpu.algos.dqn import DQNConfig, make_dqn_update
 from drl_tetris_tpu.algos.replay import (
     ReplayConfig, replay_init, replay_add_segment)
 from drl_tetris_tpu.algos.rollout import make_rollout_fn, policy_inputs
+from drl_tetris_tpu.utils.metrics import fetch_stats
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,7 +79,7 @@ class StandaloneTrainer:
         self.state, self.env_state, stats = self._fused_step(
             self.state, self.env_state, kstep)
         self.total_steps += self.cfg.n_envs * self.cfg.horizon
-        self.stats = {k: float(v) for k, v in stats.items()}
+        self.stats = fetch_stats(stats)
         return self.stats
 
     def run(self, n_iterations: int, log_every: int = 1, logger=print):
@@ -140,7 +141,7 @@ class StandaloneSherlockTrainer:
         batch, _ = self._proc(seg, v_last)
         self.state, stats = self.update(self.state, batch, kupd)
         self.total_steps += self.cfg.n_envs * self.cfg.horizon
-        self.stats = {k: float(v) for k, v in stats.items()}
+        self.stats = fetch_stats(stats)
         return self.stats
 
 
@@ -198,7 +199,8 @@ class DualPolicyTrainer:
             if not self.winrate.should_train(p):
                 continue
             self.states[p], s = self.update(self.states[p], batch, kupd)
-            stats.update({f"policy_{p}/{k}": float(v) for k, v in s.items()})
+            stats.update({f"policy_{p}/{k}": v
+                          for k, v in fetch_stats(s).items()})
         self.total_steps += self.cfg.n_envs * self.cfg.horizon
         stats["winrate/policy_0"] = self.winrate.rate_0
         self.stats = stats
@@ -257,7 +259,7 @@ class StandaloneSIXtenTrainer:
         if int(self.replay.size) >= self.scfg.n_samples_each_update:
             self.state, self.replay, stats = self.update(
                 self.state, self.replay, kupd)
-            self.stats = {k: float(v) for k, v in stats.items()}
+            self.stats = fetch_stats(stats)
         return self.stats
 
 
@@ -312,5 +314,5 @@ class StandaloneDQNTrainer:
         if int(self.replay.size) >= self.cfg.dqn.n_samples_each_update:
             self.state, self.replay, stats = self.update(
                 self.state, self.replay, kupd)
-            self.stats = {k: float(v) for k, v in stats.items()}
+            self.stats = fetch_stats(stats)
         return self.stats

@@ -20,6 +20,23 @@ from functools import wraps
 from typing import Dict, Optional
 
 
+def fetch_stats(stats) -> dict:
+    """Device stats dict -> host float dict in ONE device->host transfer.
+
+    float(v) per entry costs one tunnel round trip each (~30 ms on the
+    axon TPU tunnel); a ~20-stat dict fetched naively adds seconds per
+    training iteration.  Stacking on device and pulling once makes the
+    stats cost one round trip total."""
+    import jax.numpy as jnp
+    import numpy as np
+    names = list(stats)
+    if not names:
+        return {}
+    packed = np.asarray(jnp.stack([jnp.asarray(stats[k], jnp.float32)
+                                   for k in names]))
+    return {k: float(v) for k, v in zip(names, packed)}
+
+
 class MetricsWriter:
     def __init__(self, directory: str, name: str = "train"):
         os.makedirs(directory, exist_ok=True)
