@@ -138,6 +138,26 @@ def cmd_train(args):
             n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
             train_distribution=cfg.train_distribution, seed=args.seed)
         tr = StandaloneSIXtenTrainer(scfg, sixten_cfg=cfg.sixten)
+    elif cfg.flavour == "sherlock":
+        from drl_tetris_tpu.runtime.standalone import (
+            SherlockTrainerConfig, StandaloneSherlockTrainer)
+        scfg = SherlockTrainerConfig(
+            env=cfg.env, model=cfg.model,
+            n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+            seed=args.seed)
+        tr = StandaloneSherlockTrainer(scfg, sherlock_cfg=cfg.sherlock)
+    elif not cfg.ppo.single_policy:
+        # single_policy=False: two policies training against each other
+        # (worker.py:157-192 semantics, win-rate training gate)
+        from drl_tetris_tpu.runtime.standalone import (
+            DualPolicyConfig, DualPolicyTrainer)
+        scfg = DualPolicyConfig(
+            env=cfg.env, model=cfg.model, ppo=cfg.ppo,
+            n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+            seed=args.seed,
+            winrate_lr=cfg.settings.get("winrate_learningrate", 0.02),
+            winrate_tolerance=cfg.settings.get("winrate_tolerance", 0.1))
+        tr = DualPolicyTrainer(scfg)
     elif cfg.flavour == "dqn":
         from drl_tetris_tpu.runtime.standalone import (
             StandaloneDQNConfig, StandaloneDQNTrainer)
@@ -179,38 +199,69 @@ def cmd_train(args):
 
 
 def _load_agent(path, cfg, name=None):
+    """Build an EvalAgent from a checkpoint, reconstructing it from the
+    settings side-file saved next to the weights (the reference's
+    weights<->settings pairing, eval.py:99-104, tools/utils.py:47-52), so
+    tournaments can mix flavours and model sizes."""
     import jax
     import jax.numpy as jnp
-    from drl_tetris_tpu.models.nets import PPONet
+    from drl_tetris_tpu.models.nets import PPONet, QNet
     from drl_tetris_tpu.runtime import checkpoint as ckpt
     from drl_tetris_tpu.runtime.evaluate import EvalAgent
-    from drl_tetris_tpu.runtime.standalone import StandaloneConfig, StandaloneTrainer
 
-    net = PPONet(cfg.model, full_network=True)
+    if path != "random":
+        s = ckpt.load_settings(path)
+        if s is not None:
+            from drl_tetris_tpu.config.presets import resolve
+            try:
+                cfg = resolve(s, run_id=cfg.run_id)
+            except Exception as e:
+                print(f"warning: {path}: unusable settings side-file ({e}); "
+                      "using CLI presets", file=sys.stderr)
+    kind = "macro"
+    if cfg.flavour == "sixten":
+        from drl_tetris_tpu.algos.sixten import VNet
+        net = VNet(cfg.model, full_network=True)
+        kind = "world_model"
+    elif cfg.flavour == "dqn":
+        net = QNet(cfg.model, full_network=True)
+    elif cfg.flavour == "sherlock":
+        raise SystemExit(
+            f"{path}: sherlock checkpoints have no standalone eval policy "
+            "yet; evaluate via StandaloneSherlockTrainer")
+    else:
+        net = PPONet(cfg.model, full_network=True)
     H, W = cfg.env.engine.height, cfg.env.engine.width
     params = net.init(jax.random.PRNGKey(0),
                       [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
     if path != "random":
-        # checkpoints are either params-only (demo weights) or the full
-        # train state; try the light form first
-        try:
-            params = ckpt.restore(path, {"params": params})["params"]
-        except Exception:
-            from drl_tetris_tpu.algos.ppo import make_ppo_update
-            init_opt, _ = make_ppo_update(cfg.env.engine, net, cfg.ppo)
-            state = ckpt.restore(path, init_opt(params))
-            params = state.params
+        raw = ckpt.restore_raw(path)
+        raw_params = raw.get("params", raw) if isinstance(raw, dict) else raw
+        params = jax.tree.map(
+            lambda ref, v: jnp.asarray(v, ref.dtype).reshape(ref.shape),
+            params, raw_params)
     return EvalAgent(name=name or os.path.basename(path.rstrip("/")),
-                     params=params, net=net,
-                     distribution=cfg.eval_distribution)
+                     params=params, net=net, kind=kind,
+                     distribution=cfg.eval_distribution), cfg
+
+
+def _check_compat(cfgs):
+    """game_size compatibility across tournament entrants
+    (tools/utils.py:54-64)."""
+    sizes = {(c.env.engine.height, c.env.engine.width) for c in cfgs}
+    if len(sizes) > 1:
+        raise SystemExit(f"incompatible game sizes between entrants: {sizes}")
 
 
 def cmd_eval(args):
     from drl_tetris_tpu.runtime.evaluate import round_robin
-    cfg = _load_cfg(args)
-    agents = [_load_agent(p, cfg) for p in args.checkpoints]
-    if len(agents) == 1:
-        agents.append(_load_agent("random", cfg, name="random"))
+    cli_cfg = _load_cfg(args)
+    loaded = [_load_agent(p, cli_cfg) for p in args.checkpoints]
+    if len(loaded) == 1:
+        loaded.append(_load_agent("random", loaded[0][1], name="random"))
+    agents = [a for a, _ in loaded]
+    _check_compat([c for _, c in loaded])
+    cfg = loaded[0][1]
     board = round_robin(cfg.env, agents, games_per_pair=args.games,
                         seed=args.seed, render=args.render)
     print(board.score_table())
@@ -223,8 +274,8 @@ def cmd_play(args):
     import jax
     from drl_tetris_tpu.runtime.evaluate import play_match
     cfg = _load_cfg(args)
-    a = _load_agent(args.checkpoint or "random", cfg, name="A")
-    b = _load_agent(args.checkpoint or "random", cfg, name="B")
+    a, cfg = _load_agent(args.checkpoint or "random", cfg, name="A")
+    b, _ = _load_agent(args.checkpoint or "random", cfg, name="B")
     play_match(cfg.env, (a, b), n_games=1, seed=args.seed, render=True)
 
 

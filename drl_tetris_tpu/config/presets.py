@@ -140,6 +140,21 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "train_distribution": "epsilon",
         "n_envs_per_thread": 16,
     },
+    # experiments/presets.py:9-28 — Sherlock (delta-PPO over a spatial phi
+    # field); agent/trainer classes become the flavour name, TF activation
+    # objects become data
+    "sherlock": {
+        "agent": "sherlock",
+        "flavour": "sherlock",
+        "separate_piece_values": False,
+        "train_distribution": "pi",
+        "eval_distribution": "pi",
+        "advantage_type": "mean",
+        "workers_computes_advantages": True,
+        "truncate_aggregation": True,
+        "impossibility_loss": 0.1,
+        "n_envs_per_thread": 16,
+    },
     # experiments/sventon_dqn.py flavour
     "experiment_sventon_dqn": {
         "flavour": "dqn",
@@ -159,6 +174,7 @@ class FrameworkConfig:
     ppo: PPOConfig = PPOConfig()
     dqn: DQNConfig = DQNConfig()
     sixten: Any = None            # SixtenConfig (lazy import in resolve())
+    sherlock: Any = None          # SherlockConfig (lazy import in resolve())
     replay: ReplayConfig = ReplayConfig()
     flavour: str = "ppo"
     n_envs: int = 30
@@ -266,9 +282,23 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         time_to_reference_update=s.get("time_to_reference_update", 3),
         estimator=estimator,
     )
+    from drl_tetris_tpu.algos.sherlock import SherlockConfig
+    sherlock = SherlockConfig(
+        clipping_parameter=s.get("clipping_parameter", 0.15),
+        value_loss=s.get("value_loss", 0.01),
+        policy_loss=s.get("policy_loss", 0.9),
+        entropy_loss=s.get("entropy_loss", 0.0),
+        impossibility_loss=s.get("impossibility_loss", 0.1),
+        nn_regularizer=s.get("nn_regularizer", 1e-5),
+        lr=param_eval(s.get("value_lr", 1e-5)),
+        gamma=s.get("gamma", 0.98),
+        gae_lambda=s.get("gae_lambda", 0.7),
+        n_train_epochs=s.get("n_train_epochs_per_update", 2),
+        minibatch_size=s.get("minibatch_size", 64),
+    )
     return FrameworkConfig(
         settings=s, env=env, model=model, ppo=ppo, dqn=dqn, sixten=sixten,
-        replay=replay,
+        sherlock=sherlock, replay=replay,
         flavour=s.get("flavour", "ppo"),
         n_envs=s.get("n_envs_per_thread", 30),
         train_distribution=s.get("train_distribution", "pi"),

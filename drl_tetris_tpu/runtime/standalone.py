@@ -187,6 +187,13 @@ class DualPolicyTrainer:
         self.total_steps = 0
         self.stats = {}
 
+    @property
+    def state(self):
+        # checkpoint/league view: policy_0 (the reference's model dict keys
+        # policy_0/policy_1, sventon_agent_base.py:96-111; save both via
+        # .states when the distinction matters)
+        return self.states[0]
+
     def train_iteration(self):
         self.key, kroll, ku0, ku1 = jax.random.split(self.key, 4)
         self.env_state, seg, v_last = self.rollout(
