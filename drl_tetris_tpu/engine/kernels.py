@@ -47,26 +47,40 @@ def ext_board(cfg: EngineConfig, occ: jnp.ndarray) -> jnp.ndarray:
 
 
 def lookup_rows(piece, rot) -> jnp.ndarray:
-    """(4,) uint32 grid-row masks for (piece, rot) — unrolled 28-way select
-    instead of a gather (piece/rot are per-game traced scalars)."""
-    out = jnp.zeros((4,), jnp.uint32)
+    """(4,) uint32 grid-row masks for (piece, rot) — unrolled selects
+    instead of a gather (piece/rot are per-game traced scalars).  Built
+    per scalar element from static ints (zero masks skipped): no baked
+    array constants, which Pallas kernels may not capture."""
     idx = piece * 4 + rot
-    for p in range(7):
-        for r in range(4):
-            out = jnp.where(idx == p * 4 + r,
-                            jnp.asarray(_ROW_MASKS_NP[p, r]), out)
-    return out
+    vals = []
+    for i in range(4):
+        v = jnp.zeros_like(idx).astype(jnp.uint32)
+        for p in range(7):
+            for r in range(4):
+                m = int(_ROW_MASKS_NP[p, r, i])
+                if m:
+                    v = jnp.where(idx == p * 4 + r, jnp.uint32(m), v)
+        vals.append(v)
+    return jnp.stack(vals)
 
 
 def lookup_rows_all(piece) -> jnp.ndarray:
-    """(4, 4) uint32 row masks of ALL rotations of ``piece`` (7-way select).
-    Callers doing several rotations of one piece (apply_macro's unrolled
-    rotation chain) look this up once and pick rotations with
-    ``select_rot`` — 7 + 4 selects instead of 28 per rotation."""
-    out = jnp.zeros((4, 4), jnp.uint32)
-    for p in range(7):
-        out = jnp.where(piece == p, jnp.asarray(_ROW_MASKS_NP[p]), out)
-    return out
+    """(4, 4) uint32 row masks of ALL rotations of ``piece``.  Callers
+    doing several rotations of one piece (apply_macro's unrolled rotation
+    chain) look this up once and pick rotations with ``select_rot``.
+    Scalar-select construction for Pallas (no captured array constants)."""
+    rows = []
+    for r in range(4):
+        vals = []
+        for i in range(4):
+            v = jnp.zeros_like(piece).astype(jnp.uint32)
+            for p in range(7):
+                m = int(_ROW_MASKS_NP[p, r, i])
+                if m:
+                    v = jnp.where(piece == p, jnp.uint32(m), v)
+            vals.append(v)
+        rows.append(jnp.stack(vals))
+    return jnp.stack(rows)
 
 
 def select_rot(all_rows, rot) -> jnp.ndarray:
@@ -214,7 +228,17 @@ def clear_lines(cfg: EngineConfig, occ, garb, py):
     full = (occ == jnp.uint32(cfg.full_row)) & in_scan
     n_cleared = jnp.sum(full).astype(jnp.int32)
     n_garb = jnp.sum(full & (garb != 0)).astype(jnp.int32)
-    full_below = (jnp.cumsum(full[::-1])[::-1] - full).astype(jnp.int32)
+    # suffix count of full rows strictly below each row, as log2(H) static
+    # shift-adds (jnp.cumsum/flip have no Mosaic lowering; the Pallas
+    # whole-rollout kernel traces this same code)
+    fi = full.astype(jnp.int32)
+    suff = fi
+    s = 1
+    while s < H:
+        suff = suff + jnp.concatenate(
+            [suff[s:], jnp.zeros((s,), jnp.int32)])
+        s *= 2
+    full_below = suff - fi
     occ2 = jnp.zeros_like(occ)
     garb2 = jnp.zeros_like(garb)
     zk = jnp.zeros((4,), occ.dtype)

@@ -49,6 +49,7 @@ from drl_tetris_tpu.engine.core import (
     EngineConfig, EngineState, PlayerState, zeros_player_state,
 )
 from drl_tetris_tpu.engine import kernels as K
+from drl_tetris_tpu.engine import rng
 from drl_tetris_tpu.engine.pieces import SPAWN_ROT as _SPAWN_ROT_NP
 
 I32 = jnp.int32
@@ -87,9 +88,23 @@ def _merge3(pred_c, pred_b, a_tree, b_tree, c_tree):
 
 def _uniform(key, counter, table):
     if table is None:
-        return jax.random.uniform(jax.random.fold_in(key, counter.astype(jnp.uint32)),
-                                  dtype=F32)
+        # == jax.random.uniform(jax.random.fold_in(key, counter), f32) bit
+        # for bit, but built on the raw threefry primitive so the same code
+        # lowers inside the Pallas whole-rollout kernel (see rng.py).
+        return rng.uniform01(rng.fold_in(key, counter.astype(jnp.uint32)))
     return table[jnp.clip(counter, 0, table.shape[0] - 1)]
+
+
+def _prefix_sum(x):
+    """Inclusive prefix sum over a small leading axis, as log2(n) static
+    shift-adds (Hillis-Steele).  jnp.cumsum has no Mosaic lowering; this
+    form also vmaps into pure lane work."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x + jnp.concatenate([jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]])
+        s *= 2
+    return x
 
 
 def _select7(idx, values):
@@ -199,8 +214,10 @@ def _garbage_block(cfg, v: PlayerState, amount, freeze: bool):
     empty0 = v.g_size == 0
     live = j < v.g_size
     counts = jnp.where(live, v.g_count, 0)
-    csum = jnp.cumsum(counts)
-    total = csum[-1]
+    csum = _prefix_sum(counts)
+    # NOT csum[-1]: negative indexing lowers to dynamic_slice, which vmap
+    # batches into a gather (no Mosaic lowering)
+    total = jnp.sum(counts)
     blocked = jnp.minimum(amount, total)
     delay0 = v.g_delay[0]
     new_counts = jnp.clip(csum - blocked, 0, counts)
@@ -643,9 +660,13 @@ def _seed_round(cfg, v: PlayerState, piece_key, hole_key, tables) -> PlayerState
     if cfg.only_zs:
         k = I32(0)
     else:
-        oks = jnp.stack([~((m == 2) | (m == 3)) for m in mapped])
-        any_ok = jnp.any(oks)
-        k = jnp.where(any_ok, jnp.argmax(oks).astype(I32), I32(R))
+        # first acceptable candidate (lowest index with non-S/Z piece);
+        # unrolled descending selects — argmax on ints has no Mosaic
+        # lowering, and this is cheaper anyway (R+1 selects, no stack)
+        k = I32(R)
+        for i in range(R, -1, -1):
+            ok_i = ~((mapped[i] == 2) | (mapped[i] == 3))
+            k = jnp.where(ok_i, I32(i), k)
     # select the accepted candidate and its successor uniform
     cand_k = I32(0)
     piece_k = I32(0)
@@ -677,8 +698,8 @@ def reset(cfg: EngineConfig, state: EngineState, key,
     idxs = jnp.arange(Pn, dtype=I32)
     winner = jnp.max(jnp.where(alive, idxs, -1)).astype(I32)
     winner = jnp.where(alive_count > 1, I32(-1), winner)
-    piece_key = jax.random.fold_in(key, 0)
-    hole_key = jax.random.fold_in(key, 1)
+    piece_key = rng.fold_in(key, 0)
+    hole_key = rng.fold_in(key, 1)
 
     def per_player(i):
         v = jax.tree.map(lambda a: a[i], ps)
@@ -722,15 +743,24 @@ def _put(ps, i, view, pred, base=None):
     ``base``: the _get(ps, i) view the subroutine started from — leaves the
     subroutine never replaced are identical objects and are skipped.  The
     select happens on the (row-sized) slice, not the full (P, ...) leaf."""
+    def set_slot(full, sel):
+        # static-index row replacement as a concat (NOT .at[i].set — jnp
+        # scatter has no Mosaic lowering; the Pallas rollout kernel traces
+        # this same code).  Zero-length edge slices are omitted: Mosaic
+        # rejects zero-sized vector types.
+        parts = ([full[:i]] if i > 0 else []) + [sel[None]] + \
+                ([full[i + 1:]] if i + 1 < full.shape[0] else [])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     if base is None:
         return jax.tree.map(
-            lambda full, one: full.at[i].set(jnp.where(pred, one, full[i])),
+            lambda full, one: set_slot(full, jnp.where(pred, one, full[i])),
             ps, view)
 
     def f(full, one, orig):
         if one is orig:
             return full
-        return full.at[i].set(jnp.where(pred, one, orig))
+        return set_slot(full, jnp.where(pred, one, orig))
     return jax.tree.map(f, ps, view, base)
 
 
