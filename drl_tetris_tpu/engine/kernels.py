@@ -258,10 +258,10 @@ def add_garbage_line(cfg: EngineConfig, occ, garb, hole):
     """gamePlay.cpp:199-204: shift the field up one row; the new bottom row
     is all garbage (tile 8) with a single hole.  The hole bit select is
     unrolled over columns (hole is a traced per-game scalar)."""
-    cols = jnp.arange(cfg.width, dtype=jnp.int32)
-    row = jnp.sum(jnp.where(cols == hole, jnp.uint32(0),
-                            (jnp.uint32(1) << cols.astype(jnp.uint32))),
-                  dtype=jnp.uint32)
+    # full width-row minus the hole bit — no reduction (Mosaic has no
+    # unsigned-reduce lowering, and the closed form is cheaper anyway)
+    row = (jnp.uint32((1 << cfg.width) - 1)
+           & ~(jnp.uint32(1) << hole.astype(jnp.uint32)))
     occ2 = jnp.concatenate([occ[1:], row[None]])
     garb2 = jnp.concatenate([garb[1:], row[None]])
     return occ2, garb2

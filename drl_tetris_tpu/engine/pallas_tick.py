@@ -26,6 +26,7 @@ device matmuls between ticks and keep using the XLA path.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -41,24 +42,71 @@ from drl_tetris_tpu.env.env import EnvConfig, EnvState
 I32 = jnp.int32
 
 
-def env_step_one(cfg: EnvConfig, eng, player, key, rounds, r, t):
-    """One game's full env tick — the per-game body of
-    env.TetrisVectorEnv.step (env.py:96-133), for vmapping over the lane
-    axis inside the kernel.  Must stay semantically identical to the batch
-    path; the equivalence test enforces it."""
-    use = jnp.arange(2) == player
-    r2 = jnp.where(use, r, 0)
-    t2 = jnp.where(use, t, 0)
+def _bsel(pred, a, b):
+    """Batch-level where(pred, a, b): pred is (N,) games-in-lanes, leaves
+    are (..., N).  The predicate broadcast happens right-aligned through
+    int32 ((N,) -> (1, ..., 1, N) keeps the game batch in the lane dim —
+    the only broadcast shape Mosaic can lower), and bool leaves select in
+    int32 (Mosaic select over i1 vectors round-trips through an i8 it
+    can't truncate back)."""
+    if a is b:
+        return a
+    p = jnp.broadcast_to(jnp.asarray(pred, jnp.int32), jnp.shape(a)) != 0
+    if jnp.result_type(a) == jnp.bool_:
+        return jnp.where(p, jnp.asarray(a, jnp.int32),
+                         jnp.asarray(b, jnp.int32)) != 0
+    return jnp.where(p, a, b)
+
+
+def env_step_batch(cfg: EnvConfig, eng, player, key, rounds, r, t,
+                   games_minor: bool = True):
+    """One full env tick over the whole game batch — the batched body of
+    env.TetrisVectorEnv.step (env.py:96-133).  The per-game make/finish and
+    reset subroutines are vmapped over the lane axis; the two FULL-STATE
+    merges (freeze finished rounds; swap in resets) run at batch level so
+    their scalar-per-game predicates broadcast right-aligned into rank-2
+    leaves ((N,) -> (1,1,N)) instead of through vmap's front-batching,
+    which Mosaic cannot lower.  Must stay semantically identical to the
+    batch path; the equivalence test enforces it."""
+    ax = -1 if games_minor else 0
     dt = I32(cfg.time_elapsed_each_action)
-    stepped = S.finish_phase(
-        cfg.engine, S.make_phase_macro(cfg.engine, eng, use, r2, t2), dt, None)
-    eng = jax.tree.map(
-        lambda a, b: jnp.where(eng.round_over, a, b), eng, stepped)
+
+    def tick_core(e, p, rr, tt):
+        use = jnp.arange(2) == p
+        r2 = jnp.where(use, rr, 0)
+        t2 = jnp.where(use, tt, 0)
+        return S.finish_phase(
+            cfg.engine, S.make_phase_macro(cfg.engine, e, use, r2, t2),
+            dt, None)
+
+    # Bool outputs cross the vmap boundary as int32: reset() produces
+    # trace-CONSTANT bool leaves (dead=False etc.) which out_axes must
+    # broadcast over games, and Mosaic can't minor-dim-insert i1 vectors.
+    def _bools_out(tree):
+        return jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.int32)
+            if jnp.result_type(x) == jnp.bool_ else x, tree)
+
+    def _bools_back(tree, template):
+        return jax.tree.map(
+            lambda x, t: (x != 0) if jnp.result_type(t) == jnp.bool_ else x,
+            tree, template)
+
+    ro = eng.round_over
+    stepped = _bools_back(
+        jax.vmap(lambda e, p, rr, tt: _bools_out(tick_core(e, p, rr, tt)),
+                 in_axes=ax, out_axes=ax)(eng, player, r, t), eng)
+    eng = jax.tree.map(lambda a, b: _bsel(ro, a, b), eng, stepped)
     done = eng.round_over
-    ks = rng.split2(key)
-    key2, reset_key = ks[0], ks[1]
-    eng_reset = S.reset(cfg.engine, eng, reset_key)
-    eng = jax.tree.map(lambda a, b: jnp.where(done, b, a), eng, eng_reset)
+    ks = jax.vmap(rng.split2, in_axes=ax, out_axes=ax)(key)
+    if games_minor:
+        key2, reset_key = ks[0], ks[1]
+    else:
+        key2, reset_key = ks[:, 0], ks[:, 1]
+    eng_reset = _bools_back(
+        jax.vmap(lambda e, k: _bools_out(S.reset(cfg.engine, e, k)),
+                 in_axes=ax, out_axes=ax)(eng, reset_key), eng)
+    eng = jax.tree.map(lambda a, b: _bsel(done, b, a), eng, eng_reset)
     return eng, 1 - player, key2, rounds + done.astype(I32)
 
 
@@ -119,18 +167,25 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
         ex_refs = refs[n_state:n_state + len(extra_ins)]
         o_refs = refs[n_state + len(extra_ins):]
 
-        vals = [r[...] for r in in_refs]
-        vals = [v != 0 if b else v for v, b in zip(vals, bool_dtypes)]
-        st0 = jax.tree_util.tree_unflatten(treedef, vals)
+        # Loop carry stays int32 for bool leaves: Mosaic materializes
+        # loop-carried i1 vectors as i8 and has no i8->i1 truncation, so
+        # bools only exist as temporaries inside the body.
+        def to_state(vals):
+            vs = [v != 0 if b else v for v, b in zip(vals, bool_dtypes)]
+            return jax.tree_util.tree_unflatten(treedef, vs)
+
+        def from_state(st):
+            out, _ = jax.tree_util.tree_flatten(st)
+            return [v.astype(jnp.int32) if b else v
+                    for v, b in zip(out, bool_dtypes)]
+
+        carry0 = [r[...] for r in in_refs]
         blk_id = pl.program_id(0).astype(jnp.uint32)
 
-        step_b = jax.vmap(
-            lambda e, p, k, ro, rr, tt: env_step_one(
-                env_cfg, e, p, k, ro, rr, tt),
-            in_axes=-1, out_axes=-1)
-
         def body(tick, carry):
-            eng, player, key, rounds = carry
+            st = to_state(carry)
+            eng, player, key, rounds = (st.engine, st.current_player,
+                                        st.key, st.rounds_played)
             if actions_given:
                 rr = ex_refs[0][pl.ds(tick, 1), :][0]
                 tt = ex_refs[1][pl.ds(tick, 1), :][0]
@@ -141,17 +196,15 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
                 bits = rng.random_bits(tk, (block_games,))
                 rr = (bits % jnp.uint32(4)).astype(I32)
                 tt = ((bits >> jnp.uint32(16)) % jnp.uint32(width)).astype(I32)
-            return step_b(eng, player, key, rounds, rr, tt)
+            eng, player, key, rounds = env_step_batch(
+                env_cfg, eng, player, key, rounds, rr, tt)
+            return from_state(EnvState(engine=eng, current_player=player,
+                                       key=key, rounds_played=rounds))
 
-        st = jax.lax.fori_loop(
-            0, n_ticks,
-            lambda i, c: body(i, c),
-            (st0.engine, st0.current_player, st0.key, st0.rounds_played))
-        final = EnvState(engine=st[0], current_player=st[1], key=st[2],
-                         rounds_played=st[3])
-        out_vals, _ = jax.tree_util.tree_flatten(final)
-        for o, v, b in zip(o_refs, out_vals, bool_dtypes):
-            o[...] = v.astype(jnp.int32) if b else v
+        out_vals = jax.lax.fori_loop(
+            0, n_ticks, lambda i, c: body(i, c), carry0)
+        for o, v in zip(o_refs, out_vals):
+            o[...] = v
 
     outs = pl.pallas_call(
         kernel,
@@ -160,6 +213,7 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
         out_shape=out_shapes,
         out_specs=out_specs,
         interpret=interpret,
+        debug=bool(int(os.environ.get("PALLAS_TICK_DEBUG", "0"))),
     )(*ins, *extra_ins)
 
     outs = [jnp.moveaxis(o, -1, 0) for o in outs]

@@ -64,14 +64,26 @@ class RngTables(NamedTuple):
     hole: jnp.ndarray   # (T,) float32
 
 
+def _sel(pred, a, b):
+    """where(pred, a, b) that routes BOOL leaves through int32: Mosaic
+    lowers select_n over i1 vectors via an i8 mask it then can't truncate
+    back ("Unsupported target bitwidth for truncation"), so inside the
+    Pallas rollout kernel bool selects must be ext->select_i32->cmpi.
+    XLA fuses the casts away on the non-Pallas path (measured neutral)."""
+    if jnp.result_type(a) == jnp.bool_:
+        return jnp.where(pred, jnp.asarray(a, jnp.int32),
+                         jnp.asarray(b, jnp.int32)) != 0
+    return jnp.where(pred, a, b)
+
+
 def _merge(pred, a_tree, b_tree):
-    """where(pred, a, b) per leaf, skipping leaves that are the SAME object
+    """_sel(pred, a, b) per leaf, skipping leaves that are the SAME object
     in both trees.  Functional updates via .replace() keep untouched fields
     identical, so a branch that mutates 6 of the ~40 PlayerState leaves
     costs 6 selects instead of 40 — a large share of the tick is these
     merges."""
     return jax.tree.map(
-        lambda a, b: a if a is b else jnp.where(pred, a, b), a_tree, b_tree)
+        lambda a, b: a if a is b else _sel(pred, a, b), a_tree, b_tree)
 
 
 def _merge3(pred_c, pred_b, a_tree, b_tree, c_tree):
@@ -81,8 +93,8 @@ def _merge3(pred_c, pred_b, a_tree, b_tree, c_tree):
     where(pred_b, where(pred_c, c, b), a) and leaves c shares with b cost
     nothing."""
     def f(a, b, c):
-        inner = b if b is c else jnp.where(pred_c, c, b)
-        return a if inner is a else jnp.where(pred_b, inner, a)
+        inner = b if b is c else _sel(pred_c, c, b)
+        return a if inner is a else _sel(pred_b, inner, a)
     return jax.tree.map(f, a_tree, b_tree, c_tree)
 
 
@@ -111,7 +123,7 @@ def _select7(idx, values):
     """out = values[idx] for a static 7-tuple, as unrolled selects."""
     out = jnp.full_like(idx, values[0])
     for k in range(1, 7):
-        out = jnp.where(idx == k, values[k], out)
+        out = _sel(idx == k, values[k], out)
     return out
 
 
@@ -136,18 +148,18 @@ def _choose_from_bag(cogp, u):
     for i in range(7):
         rem2 = rem - cogp[i]
         hit = (~found) & (rem2 < 0)
-        chosen = jnp.where(hit, i, chosen)
+        chosen = _sel(hit, i, chosen)
         found = found | hit
-        rem = jnp.where(found, rem, rem2)
+        rem = _sel(found, rem, rem2)
     return chosen
 
 
 def _bag_update(cogp, chosen):
     """getPiece's weight shift (randomizer.cpp:23-29)."""
-    cval = jnp.sum(jnp.where(jnp.arange(7) == chosen, cogp, 0.0))
+    cval = jnp.sum(_sel(jnp.arange(7) == chosen, cogp, 0.0))
     adjust = (cval / F32(4)) * F32(3)
     spread = adjust / F32(6)
-    return jnp.where(jnp.arange(7) == chosen, cogp - adjust, cogp + spread)
+    return _sel(jnp.arange(7) == chosen, cogp - adjust, cogp + spread)
 
 
 def _draw_piece(v: PlayerState, tables):
@@ -170,7 +182,7 @@ def _draw_hole(v: PlayerState, cfg: EngineConfig, tables):
 
 def garbage_count(cfg, v) -> jnp.ndarray:
     live = jnp.arange(cfg.garbage_cap) < v.g_size
-    return jnp.sum(jnp.where(live, v.g_count, 0)).astype(I32)
+    return jnp.sum(_sel(live, v.g_count, 0)).astype(I32)
 
 
 def _shift_left(arr, n):
@@ -184,7 +196,7 @@ def _shift_left(arr, n):
     while (1 << k) <= CAP:
         s = 1 << k
         shifted = jnp.concatenate([out[s:], z[:s]]) if s < CAP else z
-        out = jnp.where((n >> k) & 1 != 0, shifted, out)
+        out = _sel((n >> k) & 1 != 0, shifted, out)
         k += 1
     return out
 
@@ -199,10 +211,10 @@ def _garbage_add(cfg, v: PlayerState, amount) -> PlayerState:
     tail = jnp.minimum(v.g_size, CAP - 1)
     at_tail = j == tail
     delay = v.time_ms + cfg.garbage_initial_delay
-    g_count = jnp.where(at_tail,
-                        jnp.where(full, v.g_count + amount, amount),
+    g_count = _sel(at_tail,
+                        _sel(full, v.g_count + amount, amount),
                         v.g_count)
-    g_delay = jnp.where(at_tail & ~full, delay, v.g_delay)
+    g_delay = _sel(at_tail & ~full, delay, v.g_delay)
     return v.replace(g_count=g_count, g_delay=g_delay,
                      g_size=jnp.minimum(v.g_size + 1, CAP))
 
@@ -213,7 +225,7 @@ def _garbage_block(cfg, v: PlayerState, amount, freeze: bool):
     j = jnp.arange(CAP)
     empty0 = v.g_size == 0
     live = j < v.g_size
-    counts = jnp.where(live, v.g_count, 0)
+    counts = _sel(live, v.g_count, 0)
     csum = _prefix_sum(counts)
     # NOT csum[-1]: negative indexing lowers to dynamic_slice, which vmap
     # batches into a gather (no Mosaic lowering)
@@ -222,7 +234,7 @@ def _garbage_block(cfg, v: PlayerState, amount, freeze: bool):
     delay0 = v.g_delay[0]
     new_counts = jnp.clip(csum - blocked, 0, counts)
     n_popped = jnp.sum(live & (csum <= blocked)).astype(I32)
-    g_count = _shift_left(jnp.where(live, new_counts, v.g_count), n_popped)
+    g_count = _shift_left(_sel(live, new_counts, v.g_count), n_popped)
     g_delay = _shift_left(v.g_delay, n_popped)
     size = v.g_size - n_popped
     nonempty = size > 0
@@ -230,13 +242,13 @@ def _garbage_block(cfg, v: PlayerState, amount, freeze: bool):
     if freeze:
         fd = jnp.minimum(fd + cfg.garbage_freeze_delay,
                          v.time_ms + v.g_min_remaining + cfg.garbage_freeze_delay)
-    g_delay = jnp.where((j == 0) & nonempty, fd, g_delay)
-    g_min = jnp.where(nonempty, v.g_min_remaining, I32(cfg.garbage_initial_delay))
+    g_delay = _sel((j == 0) & nonempty, fd, g_delay)
+    g_min = _sel(nonempty, v.g_min_remaining, I32(cfg.garbage_initial_delay))
     v2 = v.replace(
         g_count=g_count, g_delay=g_delay, g_size=size, g_min_remaining=g_min,
         lines_blocked=v.lines_blocked + blocked)
     out = _merge(empty0, v, v2)
-    return out, jnp.where(empty0, amount, amount - blocked)
+    return out, _sel(empty0, amount, amount - blocked)
 
 
 def _garbage_check(cfg, v: PlayerState):
@@ -250,17 +262,17 @@ def _garbage_check(cfg, v: PlayerState):
     chain_delay = v.g_delay[0] + cfg.garbage_add_delay
     new_front = v.g_count[0] - 1
     pop = fire & (new_front == 0)
-    g_count = jnp.where(fire & (j == 0), new_front, v.g_count)
-    g_count = jnp.where(pop, _shift_left(g_count, I32(1)), g_count)
-    g_delay = jnp.where(pop, _shift_left(v.g_delay, I32(1)), v.g_delay)
-    size = jnp.where(pop, v.g_size - 1, v.g_size)
+    g_count = _sel(fire & (j == 0), new_front, v.g_count)
+    g_count = _sel(pop, _shift_left(g_count, I32(1)), g_count)
+    g_delay = _sel(pop, _shift_left(v.g_delay, I32(1)), v.g_delay)
+    size = _sel(pop, v.g_size - 1, v.g_size)
     nonempty_after = size > 0
     fd = jnp.maximum(chain_delay, g_delay[0])
-    g_delay = jnp.where(fire & nonempty_after & (j == 0), fd, g_delay)
-    g_min = jnp.where(
+    g_delay = _sel(fire & nonempty_after & (j == 0), fd, g_delay)
+    g_min = _sel(
         fire,
-        jnp.where(nonempty_after, fd - t, I32(cfg.garbage_initial_delay)),
-        jnp.where(empty, v.g_min_remaining,
+        _sel(nonempty_after, fd - t, I32(cfg.garbage_initial_delay)),
+        _sel(empty, v.g_min_remaining,
                   jnp.minimum(v.g_min_remaining, v.g_delay[0] - t)),
     )
     return v.replace(g_count=g_count, g_delay=g_delay, g_size=size,
@@ -282,8 +294,8 @@ def _combo_increase(cfg, v: PlayerState, amount) -> PlayerState:
     clears at most 4 rows); the lineTime accumulation is unrolled with the
     reference's float order."""
     first = v.combo_count == 0
-    start = jnp.where(first, v.time_ms, v.combo_start)
-    ctime = jnp.where(first, I32(0), v.combo_time)
+    start = _sel(first, v.time_ms, v.combo_start)
+    ctime = _sel(first, I32(0), v.combo_time)
     cc = v.combo_count + 1
     lc = v.combo_line_count
     lt = F32(0)
@@ -291,8 +303,8 @@ def _combo_increase(cfg, v: PlayerState, amount) -> PlayerState:
         take = i < amount
         lc2 = lc + 1
         lt2 = lt + F32(cfg.combo_line_mult) / lc2.astype(F32)
-        lc = jnp.where(take, lc2, lc)
-        lt = jnp.where(take, lt2, lt)
+        lc = _sel(take, lc2, lc)
+        lt = _sel(take, lt2, lt)
     # comboTime += staticMultiplyer/comboCount (int div) + lineTime (float),
     # truncated back into the int32 comboTime (Combo.h: int32_t comboTime).
     ctime = (ctime.astype(F32) + (cfg.combo_static_mult // cc).astype(F32)
@@ -311,11 +323,11 @@ def _combo_check(cfg, v: PlayerState):
     dur_mult = F32(1) + t.astype(F32) / F32(60000) * F32(0.1)
     cc = v.combo_count.astype(F32)
     sent = (jnp.power(cc, F32(1.4) + cc * F32(0.01)) * dur_mult).astype(I32)
-    sent = jnp.where(fire, sent, 0)
+    sent = _sel(fire, sent, 0)
     return v.replace(
         combo_remaining=remaining,
-        combo_count=jnp.where(fire, 0, v.combo_count),
-        combo_line_count=jnp.where(fire, 0, v.combo_line_count),
+        combo_count=_sel(fire, 0, v.combo_count),
+        combo_line_count=_sel(fire, 0, v.combo_line_count),
     ), sent
 
 
@@ -344,7 +356,7 @@ def _make_new_piece(cfg, v: PlayerState, tables):
     ext = K.ext_board(cfg, v.occ)
     ok = K.possible(cfg, ext, v.cur_rows, v.px, v.py)
     occ_dead = K.add_piece(cfg, v.occ, v.cur_rows, v.px, v.py)
-    v = v.replace(occ=jnp.where(ok, v.occ, occ_dead))
+    v = v.replace(occ=_sel(ok, v.occ, occ_dead))
     return v, ~ok
 
 
@@ -360,7 +372,7 @@ def _send_lines(cfg, v: PlayerState, n_cleared, n_garb):
     v_cl = v_cl.replace(lines_sent=v_cl.lines_sent + sent)
     v_cl = _combo_increase(cfg, v_cl, n_cleared)
     v_out = _merge(no_clear, v_nc, v_cl)
-    return v_out, jnp.where(no_clear, 0, sent)
+    return v_out, _sel(no_clear, 0, sent)
 
 
 def _hd_make(cfg, v: PlayerState) -> PlayerState:
@@ -379,7 +391,7 @@ def _hd_finish(cfg, v: PlayerState, tables):
     v = v.replace(occ=occ, garb=garb)
     v, sent = _send_lines(cfg, v, n_cl, n_gb)
     v, died = _make_new_piece(cfg, v, tables)
-    return v, jnp.where(died, I32(-1), sent)
+    return v, _sel(died, I32(-1), sent)
 
 
 def _hd_full(cfg, v: PlayerState, tables):
@@ -393,12 +405,12 @@ def _game_mdown(cfg, v: PlayerState):
     timer; on failure start the 400 ms lockdown countdown."""
     ext = K.ext_board(cfg, v.occ)
     ok, px, py = K.try_move(cfg, ext, v.cur_rows, v.px, v.py, 0, 1)
-    ddt = jnp.where(ok, v.time_ms, v.drop_delay_time)
+    ddt = _sel(ok, v.time_ms, v.drop_delay_time)
     # dropDelay.set only (re)arms the timer if not already in lockdown
-    lt = jnp.where(ok, v.lockdown_time,
-                   jnp.where(v.lockdown, v.lockdown_time,
+    lt = _sel(ok, v.lockdown_time,
+                   _sel(v.lockdown, v.lockdown_time,
                              v.time_ms + cfg.lockdown_ms))
-    lockdown = jnp.where(ok, False, True)
+    lockdown = ~ok
     return v.replace(px=px, py=py, drop_delay_time=ddt,
                      lockdown=lockdown, lockdown_time=lt), ok
 
@@ -408,11 +420,11 @@ def _push_garbage(cfg, v: PlayerState, tables):
     v, hole = _draw_hole(v, cfg, tables)
     occ, garb = K.add_garbage_line(cfg, v.occ, v.garb, hole)
     v = v.replace(occ=occ, garb=garb)
-    py1 = jnp.where(v.py > 0, v.py - 1, v.py)
+    py1 = _sel(v.py > 0, v.py - 1, v.py)
     ext = K.ext_board(cfg, occ)
     ok = K.possible(cfg, ext, v.cur_rows, v.px, py1)
     died = (~ok) & (py1 <= 0)
-    py2 = jnp.where((~ok) & (py1 > 0), py1 - 1, py1)
+    py2 = _sel((~ok) & (py1 > 0), py1 - 1, py1)
     return v.replace(py=py2), died
 
 
@@ -431,13 +443,13 @@ def _delay_check(cfg, v: PlayerState, dt, tables):
     # DropDelay::check (DropDelay.cpp:3-21): speed up every 3000 ms
     speedup = (t - v.incr_dd_time) > 3000
     dd = v.drop_delay
-    dec = jnp.where(dd > 200, 10, jnp.where(dd > 100, 5,
-          jnp.where(dd > 50, 2, jnp.where(dd > 10, 1, 0))))
-    dd = jnp.where(speedup, dd - dec, dd)
+    dec = _sel(dd > 200, 10, _sel(dd > 100, 5,
+          _sel(dd > 50, 2, _sel(dd > 10, 1, 0))))
+    dd = _sel(speedup, dd - dec, dd)
     v = v.replace(drop_delay=dd,
-                  incr_dd_time=jnp.where(speedup, t, v.incr_dd_time))
+                  incr_dd_time=_sel(speedup, t, v.incr_dd_time))
     gravity = (t - v.drop_delay_time) > dd
-    v = v.replace(drop_delay_time=jnp.where(gravity, t, v.drop_delay_time))
+    v = v.replace(drop_delay_time=_sel(gravity, t, v.drop_delay_time))
     vg, _ = _game_mdown(cfg, v)
     v = _merge(~gravity, v, vg)
 
@@ -462,16 +474,16 @@ def _delay_check(cfg, v: PlayerState, dt, tables):
     xp = xp.replace(lines_sent=xp.lines_sent + rem)
     pay = combo_sent > 0
     x = _merge(~pay, x, xp)
-    sent = jnp.where(pay, rem, 0)
+    sent = _sel(pay, rem, 0)
 
     x, popped = _garbage_check(cfg, x)
     xg, died_g = _push_garbage(cfg, x, tables)
     x = _merge(~popped, x, xg)
     died = popped & died_g
-    rest_ret = jnp.where(died, I32(-1), sent)
+    rest_ret = _sel(died, I32(-1), sent)
 
     v_out = _merge(early, v, x)
-    ret = jnp.where(early, hd_sent, rest_ret)
+    ret = _sel(early, hd_sent, rest_ret)
     return v_out, ret
 
 
@@ -493,10 +505,10 @@ def apply_macro(cfg, v: PlayerState, r, tr) -> PlayerState:
         _, rot2, px2, py2, rows2 = K.try_rotate(
             cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows,
             all_rows=all_rows)
-        rot = jnp.where(do, rot2, rot)
-        px = jnp.where(do, px2, px)
-        py = jnp.where(do, py2, py)
-        rows = jnp.where(do, rows2, rows)
+        rot = _sel(do, rot2, rot)
+        px = _sel(do, px2, px)
+        py = _sel(do, py2, py)
+        rows = _sel(do, rows2, rows)
     px = px - K.slide_distance(cfg, ext, rows, px, py, -1)
     px = px + jnp.minimum(tr, K.slide_distance(cfg, ext, rows, px, py, +1))
     v = v.replace(rot=rot, px=px, py=py, cur_rows=rows)
@@ -517,17 +529,17 @@ def apply_place(cfg, v: PlayerState, r_rel, x_target) -> PlayerState:
         _, rot2, px2, py2, rows2 = K.try_rotate(
             cfg, ext, v.piece, rot, px, py, 1, cur_rows=rows,
             all_rows=all_rows)
-        rot = jnp.where(do, rot2, rot)
-        px = jnp.where(do, px2, px)
-        py = jnp.where(do, py2, py)
-        rows = jnp.where(do, rows2, rows)
+        rot = _sel(do, rot2, rot)
+        px = _sel(do, px2, px)
+        py = _sel(do, py2, py)
+        rows = _sel(do, rows2, rows)
     center = (cfg.width - 4) // 2
     dx = x_target - center
     direction_right = dx >= 0
     n = jnp.abs(dx)
     sl_r = K.slide_distance(cfg, ext, rows, px, py, +1)
     sl_l = K.slide_distance(cfg, ext, rows, px, py, -1)
-    move = jnp.where(direction_right, jnp.minimum(n, sl_r),
+    move = _sel(direction_right, jnp.minimum(n, sl_r),
                      -jnp.minimum(n, sl_l))
     v = v.replace(rot=rot, px=px + move, py=py, cur_rows=rows)
     return _hd_make(cfg, v)
@@ -553,7 +565,7 @@ def step_place(cfg: EngineConfig, state: EngineState, use, r_rel, x_target,
         s = make_phase_place(cfg, s, use, r_rel, x_target)
         return finish_phase(cfg, s, dt, tables)
     new = run(state)
-    return jax.tree.map(lambda a, b: jnp.where(state.round_over, a, b), state, new)
+    return jax.tree.map(lambda a, b: _sel(state.round_over, a, b), state, new)
 
 
 def apply_key(cfg, v: PlayerState, key) -> PlayerState:
@@ -591,10 +603,10 @@ def apply_key(cfg, v: PlayerState, key) -> PlayerState:
         d = K.drop_distance(cfg, ext2, x.cur_rows, x.px, x.py)
         x = x.replace(
             py=x.py + d,
-            drop_delay_time=jnp.where(d > 0, x.time_ms, x.drop_delay_time),
+            drop_delay_time=_sel(d > 0, x.time_ms, x.drop_delay_time),
             # each successful mDown clears lockdown via dropDelay.reset, so
             # the final failing attempt re-arms the 400 ms countdown
-            lockdown=jnp.where(d > 0, False, x.lockdown))
+            lockdown=x.lockdown & (d <= 0))
         x, _ = _game_mdown(cfg, x)  # the final failing attempt
         return x
 
@@ -612,7 +624,7 @@ def apply_key(cfg, v: PlayerState, key) -> PlayerState:
         rot(2),                 # 10 flip
     ]
     # out-of-range codes are a no-op (the C++ switch default)
-    key = jnp.where((key < 0) | (key > 10), 0, key)
+    key = _sel((key < 0) | (key > 10), 0, key)
     return jax.lax.switch(key, branches, v)
 
 
@@ -666,16 +678,16 @@ def _seed_round(cfg, v: PlayerState, piece_key, hole_key, tables) -> PlayerState
         k = I32(R)
         for i in range(R, -1, -1):
             ok_i = ~((mapped[i] == 2) | (mapped[i] == 3))
-            k = jnp.where(ok_i, I32(i), k)
+            k = _sel(ok_i, I32(i), k)
     # select the accepted candidate and its successor uniform
     cand_k = I32(0)
     piece_k = I32(0)
     u_next = F32(0)
     for i in range(R + 1):
         sel = k == i
-        cand_k = jnp.where(sel, cands[i], cand_k)
-        piece_k = jnp.where(sel, mapped[i], piece_k)
-        u_next = jnp.where(sel, us[i + 1], u_next)
+        cand_k = _sel(sel, cands[i], cand_k)
+        piece_k = _sel(sel, mapped[i], piece_k)
+        u_next = _sel(sel, us[i + 1], u_next)
     cogp1 = _bag_update(fresh, cand_k)
     cand_next = _choose_from_bag(cogp1, u_next)
     cogp2 = _bag_update(cogp1, cand_next)
@@ -696,8 +708,8 @@ def reset(cfg: EngineConfig, state: EngineState, key,
     alive = ~ps.dead
     alive_count = jnp.sum(alive).astype(I32)
     idxs = jnp.arange(Pn, dtype=I32)
-    winner = jnp.max(jnp.where(alive, idxs, -1)).astype(I32)
-    winner = jnp.where(alive_count > 1, I32(-1), winner)
+    winner = jnp.max(_sel(alive, idxs, -1)).astype(I32)
+    winner = _sel(alive_count > 1, I32(-1), winner)
     piece_key = rng.fold_in(key, 0)
     hole_key = rng.fold_in(key, 1)
 
@@ -730,8 +742,12 @@ def _distribute(cfg, incoming, sender, amount):
     if Pn < 2:
         return incoming
     per = amount.astype(F32) / F32(Pn - 1)
-    others = jnp.arange(Pn) != sender
-    return jnp.where(others, incoming + per, incoming)
+    # arithmetic blend instead of a select: `others` is an UNBATCHED (P,)
+    # bool constant (sender is a static index), and vmap's broadcast of an
+    # i1 minor-dim insert has no Mosaic lowering.  Bit-identical: per*0
+    # adds +0.0 and incoming_lines is never -0.0 (monotone >= 0 updates).
+    others = (jnp.arange(Pn) != sender).astype(F32)
+    return incoming + per * others
 
 
 def _get(ps, i):
@@ -752,15 +768,19 @@ def _put(ps, i, view, pred, base=None):
                 ([full[i + 1:]] if i + 1 < full.shape[0] else [])
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    if base is None:
-        return jax.tree.map(
-            lambda full, one: set_slot(full, jnp.where(pred, one, full[i])),
-            ps, view)
-
     def f(full, one, orig):
         if one is orig:
             return full
-        return set_slot(full, jnp.where(pred, one, orig))
+        if jnp.result_type(full) == jnp.bool_:
+            # whole slot update in int32: Mosaic's i1 concatenate asserts
+            # (in_bounds_vreg type mismatch); select+concat in i32, one cmp
+            sel = jnp.where(pred, jnp.asarray(one, jnp.int32),
+                            jnp.asarray(orig, jnp.int32))
+            return set_slot(jnp.asarray(full, jnp.int32), sel) != 0
+        return set_slot(full, _sel(pred, one, orig))
+
+    if base is None:
+        return jax.tree.map(lambda full, one: f(full, one, full[i]), ps, view)
     return jax.tree.map(f, ps, view, base)
 
 
@@ -782,7 +802,7 @@ def finish_phase(cfg: EngineConfig, state: EngineState, dt, tables) -> EngineSta
         ps = _put(ps, i, v2, active, base=v)
         inc = _distribute(cfg, ps.incoming_lines, i, jnp.maximum(sent, 0))
         do_inc = active & (~died) & (sent > 0)
-        ps = ps.replace(incoming_lines=jnp.where(do_inc, inc, ps.incoming_lines))
+        ps = ps.replace(incoming_lines=_sel(do_inc, inc, ps.incoming_lines))
         broke = broke | (active & died)
 
     # --- phase 2: delayCheck for every non-dead player ---------------------
@@ -803,7 +823,7 @@ def finish_phase(cfg: EngineConfig, state: EngineState, dt, tables) -> EngineSta
         ps = _put(ps, i, v_out, active, base=v)
         inc = _distribute(cfg, ps.incoming_lines, i, jnp.maximum(sent, 0))
         do_inc = active & (~died) & (sent > 0)
-        ps = ps.replace(incoming_lines=jnp.where(do_inc, inc, ps.incoming_lines))
+        ps = ps.replace(incoming_lines=_sel(do_inc, inc, ps.incoming_lines))
         alive_count = alive_count + (active & (~died)).astype(I32)
 
     check_for_winner = cfg.n_players > 1
@@ -848,7 +868,7 @@ def step_macro(cfg: EngineConfig, state: EngineState, use, r, tr, dt,
         s = make_phase_macro(cfg, s, use, r, tr)
         return finish_phase(cfg, s, dt, tables)
     new = run(state)
-    return jax.tree.map(lambda a, b: jnp.where(state.round_over, a, b), state, new)
+    return jax.tree.map(lambda a, b: _sel(state.round_over, a, b), state, new)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -859,4 +879,4 @@ def step_keys(cfg: EngineConfig, state: EngineState, keys, dt,
         s = make_phase_keys(cfg, s, keys)
         return finish_phase(cfg, s, dt, tables)
     new = run(state)
-    return jax.tree.map(lambda a, b: jnp.where(state.round_over, a, b), state, new)
+    return jax.tree.map(lambda a, b: _sel(state.round_over, a, b), state, new)

@@ -186,7 +186,7 @@ class TetrisVectorEnv:
             m = jax.tree.map(lambda a, b: jnp.where(pl, b, a), m1, m2)
             new = S.finish_phase(cfg.engine, m, dt, None)
             return jax.tree.map(
-                lambda a, b: jnp.where(e.round_over, a, b), e, new)
+                lambda a, b: S._sel(e.round_over, a, b), e, new)
 
         eng = jax.vmap(one)(eng, use, r2, a2, use_place)
         done = eng.round_over
