@@ -1,5 +1,14 @@
 # drl-tetris-tpu build & test targets (the reference's Makefile analog).
-.PHONY: all kv oracle test bench clean
+.PHONY: all kv oracle test bench clean up
+
+# Topology launcher: tetrikv + 1 trainer + N workers as local processes
+# (the docker-compose analog: trainer x1 + worker x3 + redis,
+# docker-compose.yaml:4-35).  `make up N=3 STEPS=200000 UPDATES=20`
+N ?= 3
+STEPS ?= 0
+UPDATES ?= 0
+up: kv
+	python -m drl_tetris_tpu up --workers $(N) --steps $(STEPS) --updates $(UPDATES)
 
 all: kv
 

@@ -290,6 +290,145 @@ def cmd_print_config(args):
         print(f"  {k:<36} {cfg.settings[k]!r}")
 
 
+def _force_platform(name):
+    """Pin the JAX backend before any backend initialization.  Process-mode
+    runners default to CPU locally because the TPU tunnel serves a single
+    process; on real multi-host pods pass --platform tpu (or '')."""
+    if not name:
+        return
+    os.environ["JAX_PLATFORMS"] = name
+    import jax
+    jax.config.update("jax_platforms", name)
+
+
+def _standalone_cfg(args, cfg):
+    from drl_tetris_tpu.runtime.standalone import StandaloneConfig
+    return StandaloneConfig(
+        env=cfg.env, model=cfg.model, ppo=cfg.ppo,
+        n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+        seed=args.seed)
+
+
+def cmd_kv(args):
+    """Run the tetrikv control-plane store in the foreground (the
+    docker-compose 'redis' service analog, docker-compose.yaml:29-35)."""
+    import subprocess
+    from drl_tetris_tpu.runtime.kv import server_binary
+    print(f"tetrikv listening on :{args.port}", flush=True)
+    sys.exit(subprocess.call([server_binary(), str(args.port)]))
+
+
+def cmd_worker(args):
+    """Process-mode worker (scripts/worker_runscript.py:15-28): claims a
+    worker-<i> slot, streams rollout segments to the store, polls weights."""
+    _force_platform(args.platform)
+    from drl_tetris_tpu.runtime.kv import KVClient
+    from drl_tetris_tpu.runtime.runner import WorkerRunner
+    from drl_tetris_tpu.runtime.training_state import TrainingState
+    cfg = _load_cfg(args)
+    ts = TrainingState(cfg.run_id,
+                       kv=KVClient(host=args.host, port=args.port))
+    print(f"claimed slot {ts.me} on {args.host}:{args.port}", flush=True)
+    runner = WorkerRunner(_standalone_cfg(args, cfg), ts)
+    runner.run(max_steps=args.steps or None,
+               logger=lambda m: print(m, flush=True))
+
+
+def cmd_trainer(args):
+    """Process-mode trainer (scripts/trainer_runscript.py:15-26): drains the
+    experience queue, trains, publishes versioned weights."""
+    _force_platform(args.platform)
+    from drl_tetris_tpu.runtime.kv import KVClient
+    from drl_tetris_tpu.runtime.runner import TrainerRunner
+    from drl_tetris_tpu.runtime.training_state import TrainingState
+    cfg = _load_cfg(args)
+    ts = TrainingState(cfg.run_id, role="trainer",
+                       kv=KVClient(host=args.host, port=args.port))
+    ckpt_dir = os.path.join(args.data_dir, "models", cfg.run_id)
+    runner = TrainerRunner(
+        _standalone_cfg(args, cfg), ts,
+        min_samples=cfg.settings.get("n_samples_each_update", 2048),
+        ckpt_dir=ckpt_dir, settings=cfg.settings)
+    print(f"trainer up on {args.host}:{args.port}; "
+          f"checkpoints -> {ckpt_dir}", flush=True)
+    runner.run(max_updates=args.updates or None,
+               logger=lambda m: print(m, flush=True),
+               log_every=args.log_every)
+
+
+def cmd_up(args):
+    """Topology launcher: tetrikv + 1 trainer + N workers as local processes
+    (the docker-compose analog, docker-compose.yaml:4-35).  --chaos kills a
+    worker mid-run and starts a replacement that must reclaim the freed slot
+    and recover its state (elastic recovery, training_state.py:43-52)."""
+    import signal
+    import subprocess
+    import threading
+    from drl_tetris_tpu.runtime.kv import launch_server
+
+    kv_proc = launch_server(args.port)
+    print(f"[up] tetrikv on :{args.port}", flush=True)
+    procs = {}
+
+    def passthrough():
+        return (["--presets", *args.presets] if args.presets else []) + \
+               (["--set", *args.set] if args.set else []) + \
+               ["--run-id", args.run_id, "--data-dir", args.data_dir,
+                "--port", str(args.port), "--platform", "cpu",
+                "--n-envs", str(args.n_envs or 0),
+                "--horizon", str(args.horizon), "--seed", str(args.seed)]
+
+    def spawn(name, role_args):
+        p = subprocess.Popen(
+            [sys.executable, "-m", "drl_tetris_tpu", *role_args],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        procs[name] = p
+
+        def pump():
+            for line in p.stdout:
+                print(f"[{name}] {line}", end="", flush=True)
+        threading.Thread(target=pump, daemon=True).start()
+        return p
+
+    trainer = spawn("trainer", ["trainer", *passthrough(),
+                                "--updates", str(args.updates)])
+    for i in range(args.workers):
+        spawn(f"worker{i}", ["worker", *passthrough(),
+                             "--steps", str(args.steps)])
+
+    def stop_all(*_):
+        for name, p in procs.items():
+            if p.poll() is None:
+                p.send_signal(signal.SIGTERM)
+        deadline = time.time() + 30
+        for p in procs.values():
+            try:
+                p.wait(timeout=max(0.1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+        kv_proc.kill()
+
+    signal.signal(signal.SIGINT, lambda *_: (stop_all(), sys.exit(130)))
+    try:
+        if args.chaos:
+            time.sleep(args.chaos)
+            victim = procs["worker0"]
+            print("[up] CHAOS: SIGTERM worker0 (state persists to store)",
+                  flush=True)
+            victim.send_signal(signal.SIGTERM)
+            victim.wait(timeout=120)
+            print("[up] CHAOS: starting replacement; it must reclaim the "
+                  "slot after the heartbeat TTL lapses and recover",
+                  flush=True)
+            spawn("worker0b", ["worker", *passthrough(),
+                               "--steps", str(args.steps)])
+        trainer.wait()
+        print(f"[up] trainer finished (rc={trainer.returncode})", flush=True)
+    finally:
+        stop_all()
+    sys.exit(trainer.returncode or 0)
+
+
 def cmd_bench(args):
     import subprocess
     sys.exit(subprocess.call(
@@ -341,6 +480,50 @@ def main(argv=None):
     c = sub.add_parser("print-config", help="dump the resolved configuration")
     _add_common(c)
     c.set_defaults(fn=cmd_print_config)
+
+    def _add_proc(sp):
+        _add_common(sp)
+        sp.add_argument("--host", default="127.0.0.1")
+        sp.add_argument("--port", type=int, default=6399)
+        sp.add_argument("--platform", default="cpu",
+                        help="JAX backend for this process ('' = default)")
+        sp.add_argument("--n-envs", type=int, default=0)
+        sp.add_argument("--horizon", type=int, default=72)
+        sp.add_argument("--seed", type=int, default=0)
+
+    k = sub.add_parser("kv", help="run the tetrikv control-plane store")
+    k.add_argument("--port", type=int, default=6399)
+    k.set_defaults(fn=cmd_kv)
+
+    wk = sub.add_parser(
+        "worker", help="process-mode rollout worker (streams segments)")
+    _add_proc(wk)
+    wk.add_argument("--steps", type=int, default=0,
+                    help="stop after N env-steps (0 = until SIGTERM)")
+    wk.set_defaults(fn=cmd_worker)
+
+    tr = sub.add_parser(
+        "trainer", help="process-mode trainer (drains queue, publishes weights)")
+    _add_proc(tr)
+    tr.add_argument("--updates", type=int, default=0,
+                    help="stop after N updates (0 = until SIGTERM)")
+    tr.add_argument("--log-every", type=int, default=1)
+    tr.set_defaults(fn=cmd_trainer)
+
+    up = sub.add_parser(
+        "up", help="launch tetrikv + 1 trainer + N workers locally")
+    _add_common(up)
+    up.add_argument("--workers", type=int, default=3)   # compose scale: 3
+    up.add_argument("--port", type=int, default=6399)
+    up.add_argument("--n-envs", type=int, default=0)
+    up.add_argument("--horizon", type=int, default=72)
+    up.add_argument("--seed", type=int, default=0)
+    up.add_argument("--updates", type=int, default=0)
+    up.add_argument("--steps", type=int, default=0)
+    up.add_argument("--chaos", type=float, default=0.0,
+                    help="after S seconds, kill a worker and demonstrate "
+                         "elastic slot reclaim + checksum-validated recovery")
+    up.set_defaults(fn=cmd_up)
 
     b = sub.add_parser("bench", help="environment throughput benchmark")
     b.add_argument("--n-envs", type=int, default=4096)

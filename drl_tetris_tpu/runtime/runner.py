@@ -94,10 +94,17 @@ class WorkerRunner(Runner):
 
     def get_runner_state(self):
         return jax.device_get((self.env_state, self.params,
-                               self.weights_index))
+                               self.weights_index, self.key))
 
     def set_runner_state(self, state):
-        self.env_state, self.params, self.weights_index = jax.device_put(state)
+        # pre-key blobs (3-tuple) stay loadable; they resume with the seed key
+        if len(state) == 4:
+            self.env_state, self.params, self.weights_index, key = \
+                jax.device_put(state)
+            self.key = jnp.asarray(key)
+        else:
+            self.env_state, self.params, self.weights_index = \
+                jax.device_put(state)
 
     def validation_computation(self):
         """Recovered workers must reproduce bit-identical policy output
@@ -120,9 +127,12 @@ class WorkerRunner(Runner):
             self.weights_index = idx
         return idx
 
-    def run(self, max_steps: Optional[int] = None):
+    def run(self, max_steps: Optional[int] = None, logger=None):
         steps = 0
         recovered = self.recover()
+        if logger and recovered:
+            logger(f"{self.ts.me}: recovered state from store "
+                   f"(weights_index={self.weights_index})")
         while not self.received_interrupt:
             self.ts.heartbeat()
             self.ts.tick_clock(self.cfg.n_envs * self.cfg.horizon)
@@ -139,9 +149,15 @@ class WorkerRunner(Runner):
             }
             self.ts.push_data(packet)
             steps += self.cfg.n_envs * self.cfg.horizon
+            if logger:
+                logger(f"{self.ts.me}: segment pushed  steps={steps:,}  "
+                       f"weights_index={self.weights_index}  "
+                       f"queue={self.ts.queue_len()}")
             if max_steps is not None and steps >= max_steps:
                 break
         self.persist()
+        if logger:
+            logger(f"{self.ts.me}: state persisted, exiting ({steps:,} steps)")
         return steps
 
 
@@ -149,9 +165,12 @@ class TrainerRunner(Runner):
     """drl_tetris/trainer.py: drain queue -> update -> publish weights."""
 
     def __init__(self, cfg: StandaloneConfig, ts: TrainingState,
-                 min_samples: int = 2048):
+                 min_samples: int = 2048, ckpt_dir: Optional[str] = None,
+                 settings: Optional[dict] = None):
         super().__init__(ts)
         self.cfg = cfg
+        self.ckpt_dir = ckpt_dir
+        self.settings = settings
         self.net = PPONet(cfg.model, full_network=True)
         self.init_opt, self.update = make_ppo_update(
             cfg.env.engine, self.net, cfg.ppo)
@@ -200,21 +219,45 @@ class TrainerRunner(Runner):
         self.state, stats = self.update(self.state, cat, kupd)
         return {k: float(v) for k, v in stats.items()}
 
-    def run(self, max_updates: Optional[int] = None):
+    def _save_ckpt(self, step: int):
+        if self.ckpt_dir is not None:
+            from drl_tetris_tpu.runtime import checkpoint as ckpt
+            ckpt.save(self.ckpt_dir, step, jax.device_get(self.state),
+                      settings=self.settings)
+
+    def run(self, max_updates: Optional[int] = None, logger=None,
+            log_every: int = 1):
+        from drl_tetris_tpu.runtime.checkpoint import NUMBERED_EVERY
         updates = 0
-        self.recover()
+        if self.recover() and logger:
+            logger("trainer: recovered state from store")
         while not self.received_interrupt:
             self.ts.heartbeat()
             self.drain()
             stats = self.maybe_train()
             if stats is not None:
                 updates += 1
-                self.ts.publish_weights(jax.device_get(self.state.params))
+                idx = self.ts.publish_weights(jax.device_get(self.state.params))
                 for k, v in stats.items():
                     self.ts.stats_set(k, v)
+                if logger and updates % log_every == 0:
+                    head = {k: stats[k] for k in
+                            ("losses/total_loss", "entropy/entropy")
+                            if k in stats}
+                    logger(f"trainer: update {updates}  weights_index={idx}  "
+                           f"clock={self.ts.clock():,}  "
+                           + "  ".join(f"{k.split('/')[-1]}={v:.4f}"
+                                       for k, v in head.items()))
+                # numbered checkpoint every 250 publishes
+                # (trainer.py:113-123 cadence; LATEST lives in the store)
+                if updates % NUMBERED_EVERY == 0:
+                    self._save_ckpt(self.ts.clock())
                 if max_updates is not None and updates >= max_updates:
                     break
             else:
                 time.sleep(0.01)
+        self._save_ckpt(max(self.ts.clock(), 1))
         self.persist()
+        if logger:
+            logger(f"trainer: exiting after {updates} updates")
         return updates
