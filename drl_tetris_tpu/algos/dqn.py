@@ -40,8 +40,11 @@ class DQNConfig:
     n_samples_each_update: int = 8192     # presets.py:41
     minibatch_size: int = 32
     n_train_epochs: int = 3
-    alpha: float = 0.7                    # prioritized_replay_alpha
-    beta: float = 0.7                     # prioritized_replay_beta
+    # ParamLike: the reference schedules these over training time
+    # (sventon_agent_dqn_trainer.py:34-39); host loops evaluate them per
+    # update and pass the values into update_fn as dynamic scalars.
+    alpha: Any = 0.7                      # prioritized_replay_alpha
+    beta: Any = 0.7                       # prioritized_replay_beta
     optimistic_prios: float = 0.0
     time_to_reference_update: int = 1     # presets.py:147
     estimator: EstimatorConfig = EstimatorConfig()
@@ -94,11 +97,16 @@ def make_dqn_update(engine_cfg: EngineConfig, net, cfg: DQNConfig,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    from drl_tetris_tpu.config.parameter import param_eval
+
     @jax.jit
-    def update_fn(state: DQNState, replay: ReplayState, key):
+    def update_fn(state: DQNState, replay: ReplayState, key,
+                  alpha=None, beta=None):
+        alpha = param_eval(cfg.alpha) if alpha is None else alpha
+        beta = param_eval(cfg.beta) if beta is None else beta
         ks, kp = jax.random.split(key)
         idx, iw = replay_sample(cfg_replay_static, replay, ks,
-                                cfg.n_samples_each_update, cfg.alpha, cfg.beta)
+                                cfg.n_samples_each_update, alpha, beta)
         win = replay_gather_windows(cfg_replay_static, replay, idx)
         targets = target_fn(state.ref_params, win)
         samples = {

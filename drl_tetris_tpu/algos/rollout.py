@@ -23,6 +23,18 @@ from drl_tetris_tpu.env.observations import Obs
 from drl_tetris_tpu.algos import distributions as D
 
 
+class HParams(NamedTuple):
+    """Schedulable sampling hyperparameters, passed into the jitted rollout
+    as dynamic scalars so the host can evaluate parameter schedules
+    (config/parameter.py, tools/parameter.py:8-66) per iteration without
+    recompiling.  avg_traj_len backs `adaptive_epsilon`
+    (sventon_agent.py:87-89; working EMA semantics from
+    sherlock_agent.py:39,173: init 12, tau_learning_rate EMA)."""
+    epsilon: jnp.ndarray = 0.05        # presets.py:81
+    temperature: jnp.ndarray = 1.0     # action_temperature
+    avg_traj_len: jnp.ndarray = 12.0   # sherlock_agent.py:39 init
+
+
 class Segment(NamedTuple):
     """A (T, N) rollout segment — the packet a worker ships to the trainer
     (the trajectory (s, a, r, d) + internals layout of trajectory.py:56-86)."""
@@ -63,7 +75,9 @@ def make_policy_fn(env: TetrisVectorEnv, net, distribution: str = "pi",
     v(s)).  Works for both net flavours: PPONet -> (pi, v); QNet ->
     (Q, V, A) where the action scores are Q and v comes from V."""
 
-    def policy(params, env_state, key):
+    def policy(params, env_state, key, hp: HParams = None):
+        if hp is None:
+            hp = HParams(epsilon=epsilon, temperature=temperature)
         obs = env.observe(env_state)
         vec, vis = policy_inputs(obs)
         out = net.apply(params, vec, vis)
@@ -81,9 +95,14 @@ def make_policy_fn(env: TetrisVectorEnv, net, distribution: str = "pi",
         elif distribution == "argmax":
             (r, t), _ = D.action_argmax(ppi)
         elif distribution == "epsilon":
-            (r, t), _ = D.action_epsilongreedy(ppi, key, epsilon)
+            (r, t), _ = D.action_epsilongreedy(ppi, key, hp.epsilon)
+        elif distribution == "adaptive_epsilon":
+            # epsilon(t) scaled by 1/avg-trajectory-length
+            # (sventon_agent.py:87-89)
+            (r, t), _ = D.action_epsilongreedy(
+                ppi, key, hp.epsilon / jnp.maximum(hp.avg_traj_len, 1e-6))
         elif distribution == "pareto_distribution":
-            (r, t), _ = D.action_pareto(ppi, key, temperature)
+            (r, t), _ = D.action_pareto(ppi, key, hp.temperature)
         else:
             raise ValueError(distribution)
         idx = jnp.arange(n)
@@ -102,26 +121,26 @@ def make_rollout_fn(env: TetrisVectorEnv, net, horizon: int,
     if policy is None:
         policy = make_policy_fn(env, net, distribution, **policy_kwargs)
 
-    def step_fn(carry, key):
-        params, env_state = carry
-        obs = None
-        player = env_state.current_player
-        obs, piece, r, t, prob, v_piece, v_mean = policy(params, env_state, key)
-        occ = _perspective_occ(env_state, player)
-        new_state, reward, done = env.step(env_state, r, t)
-        out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r, trans=t,
-                      prob=prob, v_piece=v_piece, v_mean=v_mean,
-                      reward=reward, done=done, player=player)
-        return (params, new_state), out
-
     @jax.jit
-    def rollout(params, env_state, key):
+    def rollout(params, env_state, key, hp: HParams = None):
+        def step_fn(carry, key):
+            params, env_state = carry
+            player = env_state.current_player
+            obs, piece, r, t, prob, v_piece, v_mean = policy(
+                params, env_state, key, hp)
+            occ = _perspective_occ(env_state, player)
+            new_state, reward, done = env.step(env_state, r, t)
+            out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r, trans=t,
+                          prob=prob, v_piece=v_piece, v_mean=v_mean,
+                          reward=reward, done=done, player=player)
+            return (params, new_state), out
+
         keys = jax.random.split(key, horizon)
         (params, env_state), seg = jax.lax.scan(
             step_fn, (params, env_state), keys)
         # bootstrap value of the final state (next acting player's view)
         _, piece, _, _, _, v_piece_last, _ = policy(
-            params, env_state, jax.random.fold_in(key, horizon))
+            params, env_state, jax.random.fold_in(key, horizon), hp)
         return env_state, seg, v_piece_last
 
     return rollout

@@ -110,8 +110,10 @@ def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
     W = cfg.width
     spawn_rot = jnp.asarray(_SPAWN_ROT_NP)
 
-    def policy(params, env_state, key):
-        from drl_tetris_tpu.algos.rollout import policy_inputs
+    def policy(params, env_state, key, hp=None):
+        from drl_tetris_tpu.algos.rollout import HParams, policy_inputs
+        if hp is None:
+            hp = HParams(epsilon=epsilon)
         obs = env.observe(env_state)
         player = env_state.current_player
         ps = env_state.engine.players
@@ -163,7 +165,13 @@ def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
             # uniform over legal placements with prob epsilon
             u = jnp.log(jnp.where(mask.reshape(N, K), 1.0, 0.0))
             rand_pick = jax.random.categorical(kpick, u, axis=1)
-            explore = jax.random.uniform(kexp, (N,)) < epsilon
+            explore = jax.random.uniform(kexp, (N,)) < hp.epsilon
+            choice = jnp.where(explore, rand_pick, greedy)
+        elif distribution == "adaptive_epsilon":
+            u = jnp.log(jnp.where(mask.reshape(N, K), 1.0, 0.0))
+            rand_pick = jax.random.categorical(kpick, u, axis=1)
+            eff = hp.epsilon / jnp.maximum(hp.avg_traj_len, 1e-6)
+            explore = jax.random.uniform(kexp, (N,)) < eff
             choice = jnp.where(explore, rand_pick, greedy)
         elif distribution == "argmax":
             choice = greedy
@@ -201,25 +209,25 @@ def make_sixten_rollout(env: TetrisVectorEnv, net: VNet, horizon: int,
 
     policy = make_sixten_policy(env, net, distribution, epsilon)
 
-    def step_fn(carry, key):
-        params, env_state = carry
-        player = env_state.current_player
-        obs, piece, r_rel, x, prob, v_sel, v_mean = policy(
-            params, env_state, key)
-        occ = _perspective_occ(env_state, player)
-        new_state, reward, done = env.step_place(env_state, r_rel, x)
-        out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r_rel,
-                      trans=jnp.maximum(x, 0), prob=prob, v_piece=v_sel,
-                      v_mean=v_mean, reward=reward, done=done, player=player)
-        return (params, new_state), out
-
     @jax.jit
-    def rollout(params, env_state, key):
+    def rollout(params, env_state, key, hp=None):
+        def step_fn(carry, key):
+            params, env_state = carry
+            player = env_state.current_player
+            obs, piece, r_rel, x, prob, v_sel, v_mean = policy(
+                params, env_state, key, hp)
+            occ = _perspective_occ(env_state, player)
+            new_state, reward, done = env.step_place(env_state, r_rel, x)
+            out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r_rel,
+                          trans=jnp.maximum(x, 0), prob=prob, v_piece=v_sel,
+                          v_mean=v_mean, reward=reward, done=done, player=player)
+            return (params, new_state), out
+
         keys = jax.random.split(key, horizon)
         (params, env_state), seg = jax.lax.scan(
             step_fn, (params, env_state), keys)
         _, _, _, _, _, v_last, _ = policy(
-            params, env_state, jax.random.fold_in(key, horizon))
+            params, env_state, jax.random.fold_in(key, horizon), hp)
         return env_state, seg, v_last
 
     return rollout
@@ -237,8 +245,8 @@ class SixtenConfig:
     n_samples_each_update: int = 4096
     minibatch_size: int = 32
     n_train_epochs: int = 1
-    alpha: float = 0.7                    # prioritized_replay_alpha
-    beta: float = 0.7
+    alpha: Any = 0.7                      # prioritized_replay_alpha (ParamLike)
+    beta: Any = 0.7                       # (scheduled per update like DQN's)
     time_to_reference_update: int = 3     # sixten preset (presets.py:147 class)
     estimator: EstimatorConfig = EstimatorConfig()
 
@@ -288,11 +296,16 @@ def make_sixten_update(engine_cfg: EngineConfig, net: VNet, cfg: SixtenConfig,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    from drl_tetris_tpu.config.parameter import param_eval
+
     @jax.jit
-    def update_fn(state: SixtenState, replay: ReplayState, key):
+    def update_fn(state: SixtenState, replay: ReplayState, key,
+                  alpha=None, beta=None):
+        alpha = param_eval(cfg.alpha) if alpha is None else alpha
+        beta = param_eval(cfg.beta) if beta is None else beta
         ks, kp = jax.random.split(key)
         idx, iw = replay_sample(replay_cfg, replay, ks,
-                                cfg.n_samples_each_update, cfg.alpha, cfg.beta)
+                                cfg.n_samples_each_update, alpha, beta)
         win = replay_gather_windows(replay_cfg, replay, idx)
         targets = target_fn(state.ref_params, win)
         samples = {"occ0": win["occ"][:, 0], "vec0": win["vec"][:, 0],

@@ -136,7 +136,9 @@ def cmd_train(args):
         scfg = StandaloneSIXtenConfig(
             env=cfg.env, model=cfg.model, replay=cfg.replay,
             n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
-            train_distribution=cfg.train_distribution, seed=args.seed)
+            train_distribution=cfg.train_distribution, seed=args.seed,
+            epsilon=cfg.epsilon, action_temperature=cfg.action_temperature,
+            tau_learning_rate=cfg.tau_learning_rate)
         tr = StandaloneSIXtenTrainer(scfg, sixten_cfg=cfg.sixten)
     elif cfg.flavour == "sherlock":
         from drl_tetris_tpu.runtime.standalone import (
@@ -164,7 +166,9 @@ def cmd_train(args):
         scfg = StandaloneDQNConfig(
             env=cfg.env, model=cfg.model, dqn=cfg.dqn, replay=cfg.replay,
             n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
-            train_distribution=cfg.train_distribution, seed=args.seed)
+            train_distribution=cfg.train_distribution, seed=args.seed,
+            epsilon=cfg.epsilon, action_temperature=cfg.action_temperature,
+            tau_learning_rate=cfg.tau_learning_rate)
         tr = StandaloneDQNTrainer(scfg)
     else:
         from drl_tetris_tpu.runtime.standalone import (

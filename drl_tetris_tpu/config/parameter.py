@@ -23,14 +23,23 @@ class Parameter:
 
 @dataclasses.dataclass(frozen=True)
 class LinearParameter:
-    """linear_parameter (tools/parameter.py:55-63): init + decay * t."""
+    """linear_parameter (tools/parameter.py:55-63).  Two forms:
+    with ``time_horizon`` set, interpolate init -> final over [0, horizon]
+    (the reference's form, e.g. sventon_dqn.py:16); otherwise the slope
+    form init + decay * t."""
     init_val: float
-    decay: float
+    decay: float = 0.0
     min_val: Optional[float] = None
     max_val: Optional[float] = None
+    final_val: Optional[float] = None
+    time_horizon: Optional[float] = None
 
     def __call__(self, t: float) -> float:
-        x = self.init_val + self.decay * t
+        if self.time_horizon is not None:
+            frac = max(min(t, self.time_horizon), 0.0) / self.time_horizon
+            x = frac * self.final_val + (1.0 - frac) * self.init_val
+        else:
+            x = self.init_val + self.decay * t
         if self.min_val is not None:
             x = max(self.min_val, x)
         if self.max_val is not None:

@@ -181,6 +181,11 @@ class FrameworkConfig:
     train_distribution: str = "pi"
     eval_distribution: str = "argmax"
     run_id: str = "run"
+    # sampling schedules (ParamLike; evaluated per iteration by the
+    # trainers and passed into jitted rollouts as dynamic scalars)
+    epsilon: Any = 0.05               # presets.py:81
+    action_temperature: Any = 1.0     # sventon_dqn.py:16 / sixten_base.py:11
+    tau_learning_rate: float = 0.01   # presets.py:178 (adaptive_epsilon EMA)
 
 
 def merge_settings(presets: Sequence[str], *overlays: Dict[str, Any]) -> Dict[str, Any]:
@@ -257,8 +262,8 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         n_samples_each_update=s.get("n_samples_each_update", 8192),
         minibatch_size=s.get("minibatch_size", 32),
         n_train_epochs=s.get("n_train_epochs_per_update", 3),
-        alpha=param_eval(s.get("prioritized_replay_alpha", 0.7)),
-        beta=param_eval(s.get("prioritized_replay_beta", 0.7)),
+        alpha=s.get("prioritized_replay_alpha", 0.7),
+        beta=s.get("prioritized_replay_beta", 0.7),
         optimistic_prios=s.get("optimistic_prios", 0.0),
         time_to_reference_update=s.get("time_to_reference_update", 1),
         estimator=estimator,
@@ -277,8 +282,8 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         n_samples_each_update=s.get("n_samples_each_update", 4096),
         minibatch_size=s.get("minibatch_size", 32),
         n_train_epochs=s.get("n_train_epochs_per_update", 1),
-        alpha=param_eval(s.get("prioritized_replay_alpha", 0.7)),
-        beta=param_eval(s.get("prioritized_replay_beta", 0.7)),
+        alpha=s.get("prioritized_replay_alpha", 0.7),
+        beta=s.get("prioritized_replay_beta", 0.7),
         time_to_reference_update=s.get("time_to_reference_update", 3),
         estimator=estimator,
     )
@@ -304,6 +309,9 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         train_distribution=s.get("train_distribution", "pi"),
         eval_distribution=s.get("eval_distribution", "argmax"),
         run_id=run_id,
+        epsilon=s.get("epsilon", 0.05),
+        action_temperature=s.get("action_temperature", 1.0),
+        tau_learning_rate=s.get("tau_learning_rate", 0.01),
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +23,24 @@ from drl_tetris_tpu.algos.ppo import PPOConfig, make_ppo_update, segment_to_batc
 from drl_tetris_tpu.algos.dqn import DQNConfig, make_dqn_update
 from drl_tetris_tpu.algos.replay import (
     ReplayConfig, replay_init, replay_add_segment)
-from drl_tetris_tpu.algos.rollout import make_rollout_fn, policy_inputs
+from drl_tetris_tpu.algos.rollout import HParams, make_rollout_fn, policy_inputs
+from drl_tetris_tpu.config.parameter import param_eval
 from drl_tetris_tpu.utils.metrics import fetch_stats
+
+
+def _traj_len_ema(done_tn, ep_len, atl, tau):
+    """Fold a segment's done flags into the avg-trajectory-length EMA
+    (sherlock_agent.py:173: atl <- (1-tau)*atl + tau*len, one step per
+    finished round; ep_len carries partial round lengths across segments)."""
+    import numpy as np
+    d = np.asarray(done_tn)
+    for t in range(d.shape[0]):
+        ep_len += 1
+        fin = np.flatnonzero(d[t])
+        for length in ep_len[fin]:
+            atl = (1.0 - tau) * atl + tau * float(length)
+        ep_len[fin] = 0
+    return ep_len, atl
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,7 +238,9 @@ class StandaloneSIXtenConfig:
     n_envs: int = 16              # SIXten shape (sixten_base.py:29)
     horizon: int = 32
     train_distribution: str = "epsilon"
-    epsilon: float = 0.05
+    epsilon: Any = 0.05           # ParamLike: evaluated per iteration
+    action_temperature: Any = 1.0
+    tau_learning_rate: float = 0.01
     seed: int = 0
 
 
@@ -241,7 +259,8 @@ class StandaloneSIXtenTrainer:
         self.net = VNet(cfg.model, full_network=True)
         self.rollout = make_sixten_rollout(
             self.env, self.net, cfg.horizon,
-            distribution=cfg.train_distribution, epsilon=cfg.epsilon)
+            distribution=cfg.train_distribution,
+            epsilon=param_eval(cfg.epsilon))
         self.init_opt, self.update = make_sixten_update(
             cfg.env.engine, self.net, self.scfg, cfg.replay)
 
@@ -255,17 +274,37 @@ class StandaloneSIXtenTrainer:
         self.env_state = self.env.reset(kenv)
         self.total_steps = 0
         self.stats = {}
+        self._ep_len = None
+        self.avg_traj_len = 12.0      # sherlock_agent.py:39 init
+
+    def _hparams(self):
+        t = self.total_steps
+        return HParams(
+            epsilon=jnp.float32(param_eval(self.cfg.epsilon, t)),
+            temperature=jnp.float32(
+                param_eval(self.cfg.action_temperature, t)),
+            avg_traj_len=jnp.float32(self.avg_traj_len))
 
     def train_iteration(self):
+        import numpy as np
         self.key, kroll, kupd = jax.random.split(self.key, 3)
         self.env_state, seg, _ = self.rollout(
-            self.state.params, self.env_state, kroll)
+            self.state.params, self.env_state, kroll, self._hparams())
+        if self.cfg.train_distribution == "adaptive_epsilon":
+            if self._ep_len is None:
+                self._ep_len = np.zeros(self.cfg.n_envs, np.int64)
+            self._ep_len, self.avg_traj_len = _traj_len_ema(
+                jax.device_get(seg.done), self._ep_len,
+                self.avg_traj_len, self.cfg.tau_learning_rate)
         self.replay = replay_add_segment(
             self.cfg.replay, self.replay, seg, self.cfg.horizon)
         self.total_steps += self.cfg.n_envs * self.cfg.horizon
         if int(self.replay.size) >= self.scfg.n_samples_each_update:
+            t = self.total_steps
             self.state, self.replay, stats = self.update(
-                self.state, self.replay, kupd)
+                self.state, self.replay, kupd,
+                jnp.float32(param_eval(self.scfg.alpha, t)),
+                jnp.float32(param_eval(self.scfg.beta, t)))
             self.stats = fetch_stats(stats)
         return self.stats
 
@@ -279,7 +318,9 @@ class StandaloneDQNConfig:
     n_envs: int = 80              # legacy DQN shape (sventon_base.py:80)
     horizon: int = 32
     train_distribution: str = "epsilon"   # presets.py:80
-    epsilon: float = 0.05
+    epsilon: Any = 0.05           # ParamLike: evaluated per iteration
+    action_temperature: Any = 1.0
+    tau_learning_rate: float = 0.01
     seed: int = 0
 
 
@@ -295,7 +336,8 @@ class StandaloneDQNTrainer:
         self.net = QNet(cfg.model, full_network=True)
         self.rollout = make_rollout_fn(
             self.env, self.net, cfg.horizon,
-            distribution=cfg.train_distribution, epsilon=cfg.epsilon)
+            distribution=cfg.train_distribution,
+            epsilon=param_eval(cfg.epsilon))
         self.init_opt, self.update = make_dqn_update(
             cfg.env.engine, self.net, cfg.dqn, cfg.replay)
 
@@ -309,17 +351,37 @@ class StandaloneDQNTrainer:
         self.env_state = self.env.reset(kenv)
         self.total_steps = 0
         self.stats = {}
+        self._ep_len = None
+        self.avg_traj_len = 12.0      # sherlock_agent.py:39 init
+
+    def _hparams(self):
+        t = self.total_steps
+        return HParams(
+            epsilon=jnp.float32(param_eval(self.cfg.epsilon, t)),
+            temperature=jnp.float32(
+                param_eval(self.cfg.action_temperature, t)),
+            avg_traj_len=jnp.float32(self.avg_traj_len))
 
     def train_iteration(self):
+        import numpy as np
         self.key, kroll, kupd = jax.random.split(self.key, 3)
         self.env_state, seg, _ = self.rollout(
-            self.state.params, self.env_state, kroll)
+            self.state.params, self.env_state, kroll, self._hparams())
+        if self.cfg.train_distribution == "adaptive_epsilon":
+            if self._ep_len is None:
+                self._ep_len = np.zeros(self.cfg.n_envs, np.int64)
+            self._ep_len, self.avg_traj_len = _traj_len_ema(
+                jax.device_get(seg.done), self._ep_len,
+                self.avg_traj_len, self.cfg.tau_learning_rate)
         self.replay = replay_add_segment(
             self.cfg.replay, self.replay, seg, self.cfg.horizon)
         self.total_steps += self.cfg.n_envs * self.cfg.horizon
         # trainer waits for enough samples (sventon_agent_dqn_trainer.py:22)
         if int(self.replay.size) >= self.cfg.dqn.n_samples_each_update:
+            t = self.total_steps
             self.state, self.replay, stats = self.update(
-                self.state, self.replay, kupd)
+                self.state, self.replay, kupd,
+                jnp.float32(param_eval(self.cfg.dqn.alpha, t)),
+                jnp.float32(param_eval(self.cfg.dqn.beta, t)))
             self.stats = fetch_stats(stats)
         return self.stats
