@@ -36,14 +36,16 @@ from drl_tetris_tpu.algos.gae import sventon_gae
 
 def make_dual_rollout_fn(env: TetrisVectorEnv, net, horizon: int,
                          distribution: str = "pi"):
-    """rollout(params_0, params_1, env_state, key) -> (env_state', Segment,
-    v_last (N,)).  The Segment's player field records which policy acted."""
+    """rollout(params_0, params_1, env_state, key, hp=None) -> (env_state',
+    Segment, v_last (N,)).  The Segment's player field records which policy
+    acted.  Works for both net flavours (PPONet pi-sampling or QNet
+    epsilon-greedy via `distribution`)."""
     policy = make_policy_fn(env, net, distribution)
 
-    def acting(params0, params1, env_state, key):
+    def acting(params0, params1, env_state, key, hp):
         k0, k1 = jax.random.split(key)
-        o0, pc0, r0, t0, p0, vp0, vm0 = policy(params0, env_state, k0)
-        o1, pc1, r1, t1, p1, vp1, vm1 = policy(params1, env_state, k1)
+        o0, pc0, r0, t0, p0, vp0, vm0 = policy(params0, env_state, k0, hp)
+        o1, pc1, r1, t1, p1, vp1, vm1 = policy(params1, env_state, k1, hp)
         mine = env_state.current_player == 0
         pick = lambda a, b: jnp.where(mine, a, b)
         obs = jax.tree.map(
@@ -52,28 +54,53 @@ def make_dual_rollout_fn(env: TetrisVectorEnv, net, horizon: int,
         return (obs, pick(pc0, pc1), pick(r0, r1), pick(t0, t1),
                 pick(p0, p1), pick(vp0, vp1), pick(vm0, vm1))
 
-    def step_fn(carry, key):
-        params0, params1, env_state = carry
-        player = env_state.current_player
-        obs, piece, r, t, prob, v_piece, v_mean = acting(
-            params0, params1, env_state, key)
-        occ = _perspective_occ(env_state, player)
-        new_state, reward, done = env.step(env_state, r, t)
-        out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r, trans=t,
-                      prob=prob, v_piece=v_piece, v_mean=v_mean,
-                      reward=reward, done=done, player=player)
-        return (params0, params1, new_state), out
-
     @jax.jit
-    def rollout(params0, params1, env_state, key):
+    def rollout(params0, params1, env_state, key, hp=None):
+        def step_fn(carry, key):
+            params0, params1, env_state = carry
+            player = env_state.current_player
+            obs, piece, r, t, prob, v_piece, v_mean = acting(
+                params0, params1, env_state, key, hp)
+            occ = _perspective_occ(env_state, player)
+            new_state, reward, done = env.step(env_state, r, t)
+            out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r, trans=t,
+                          prob=prob, v_piece=v_piece, v_mean=v_mean,
+                          reward=reward, done=done, player=player)
+            return (params0, params1, new_state), out
+
         keys = jax.random.split(key, horizon)
         (params0, params1, env_state), seg = jax.lax.scan(
             step_fn, (params0, params1, env_state), keys)
         _, _, _, _, _, v_last, _ = acting(
-            params0, params1, env_state, jax.random.fold_in(key, horizon))
+            params0, params1, env_state, jax.random.fold_in(key, horizon), hp)
         return env_state, seg, v_last
 
     return rollout
+
+
+def merge_dual_transitions(seg: Segment) -> Segment:
+    """The stash/merge rewrite (worker.py:184-191): transition t gets
+    r' = r_t - r_{t+1} ("good news for the opponent is bad news for me")
+    and d' = d_t | d_{t+1}.  The segment's final tick keeps its own (r, d)."""
+    r = seg.reward
+    d = seg.done
+    r_next = jnp.concatenate([r[1:], jnp.zeros_like(r[:1])], axis=0)
+    d_next = jnp.concatenate([d[1:], jnp.zeros_like(d[:1])], axis=0)
+    return seg._replace(reward=r - r_next, done=d | d_next)
+
+
+def dual_policy_subsegment(merged: Segment, p: int) -> Segment:
+    """Policy p's own ticks as a (T/2, N) Segment.  Players strictly
+    alternate; per env the policy's ticks are the even slice if it acted at
+    t=0, else the odd slice."""
+    even_first = merged.player[0] == p            # (N,)
+
+    def take(a):
+        ev, od = a[0::2], a[1::2]
+        m = even_first.reshape((1, -1) + (1,) * (a.ndim - 2))
+        return jnp.where(m, ev, od)
+
+    return Segment(*[take(getattr(merged, f)) for f in Segment._fields])
 
 
 def split_dual_segment(cfg: PPOConfig, seg: Segment, v_last
@@ -89,26 +116,13 @@ def split_dual_segment(cfg: PPOConfig, seg: Segment, v_last
     selecting even or odd slices."""
     T = seg.reward.shape[0]
     assert T % 2 == 0, "dual-policy segments need an even horizon"
-    f32 = jnp.float32
-    r = seg.reward
-    d = seg.done
-    r_next = jnp.concatenate([r[1:], jnp.zeros_like(r[:1])], axis=0)
-    d_next = jnp.concatenate([d[1:], jnp.zeros_like(d[:1])], axis=0)
-    r_m = r - r_next
-    d_m = d | d_next
-    merged = seg._replace(reward=r_m, done=d_m)
+    merged = merge_dual_transitions(seg)
 
     gamma = cfg.gamma  # UNSIGNED: each policy sees only its own turns
 
     def policy_batch(p):
-        # per env: policy p's ticks are the even slice if it acted at t=0,
-        # else the odd slice
         even_first = seg.player[0] == p           # (N,)
-        def take(a):
-            ev, od = a[0::2], a[1::2]
-            m = even_first.reshape((1, -1) + (1,) * (a.ndim - 2))
-            return jnp.where(m, ev, od)
-        sub = Segment(*[take(getattr(merged, f)) for f in Segment._fields])
+        sub = dual_policy_subsegment(merged, p)
         v_boot = jnp.where(even_first, v_last, jnp.zeros_like(v_last))
         # (the odd-phase envs' final tick has no bootstrap view for this
         # policy — the done-masked scan treats it as truncation)

@@ -151,15 +151,29 @@ def cmd_train(args):
     elif not cfg.ppo.single_policy:
         # single_policy=False: two policies training against each other
         # (worker.py:157-192 semantics, win-rate training gate)
-        from drl_tetris_tpu.runtime.standalone import (
-            DualPolicyConfig, DualPolicyTrainer)
-        scfg = DualPolicyConfig(
-            env=cfg.env, model=cfg.model, ppo=cfg.ppo,
-            n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
-            seed=args.seed,
-            winrate_lr=cfg.settings.get("winrate_learningrate", 0.02),
-            winrate_tolerance=cfg.settings.get("winrate_tolerance", 0.1))
-        tr = DualPolicyTrainer(scfg)
+        if cfg.flavour == "dqn":
+            from drl_tetris_tpu.runtime.standalone import (
+                DualPolicyDQNConfig, DualPolicyDQNTrainer)
+            scfg = DualPolicyDQNConfig(
+                env=cfg.env, model=cfg.model, dqn=cfg.dqn, replay=cfg.replay,
+                n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+                train_distribution=cfg.train_distribution, seed=args.seed,
+                epsilon=cfg.epsilon,
+                action_temperature=cfg.action_temperature,
+                tau_learning_rate=cfg.tau_learning_rate,
+                winrate_lr=cfg.settings.get("winrate_learningrate", 0.02),
+                winrate_tolerance=cfg.settings.get("winrate_tolerance", 0.1))
+            tr = DualPolicyDQNTrainer(scfg)
+        else:
+            from drl_tetris_tpu.runtime.standalone import (
+                DualPolicyConfig, DualPolicyTrainer)
+            scfg = DualPolicyConfig(
+                env=cfg.env, model=cfg.model, ppo=cfg.ppo,
+                n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
+                seed=args.seed,
+                winrate_lr=cfg.settings.get("winrate_learningrate", 0.02),
+                winrate_tolerance=cfg.settings.get("winrate_tolerance", 0.1))
+            tr = DualPolicyTrainer(scfg)
     elif cfg.flavour == "dqn":
         from drl_tetris_tpu.runtime.standalone import (
             StandaloneDQNConfig, StandaloneDQNTrainer)

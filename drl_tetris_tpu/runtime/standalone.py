@@ -231,6 +231,115 @@ class DualPolicyTrainer:
 
 
 @dataclasses.dataclass(frozen=True)
+class DualPolicyDQNConfig:
+    env: EnvConfig = EnvConfig()
+    model: ModelConfig = ModelConfig()
+    dqn: DQNConfig = DQNConfig()
+    replay: ReplayConfig = ReplayConfig()
+    n_envs: int = 80
+    horizon: int = 32             # ticks; each policy gets horizon/2
+    train_distribution: str = "epsilon"
+    epsilon: Any = 0.05
+    action_temperature: Any = 1.0
+    tau_learning_rate: float = 0.01
+    seed: int = 0
+    winrate_lr: float = 0.02        # winrate_learningrate (presets.py:179)
+    winrate_tolerance: float = 0.1  # presets.py:180
+
+
+class DualPolicyDQNTrainer:
+    """Dual-policy SVENton-DQN: two Q-policies trained against each other,
+    one prioritized replay per policy, with the reference's win-rate
+    training gate — a policy winning more than 0.5 + tolerance is not
+    trained until the other catches up (sventon_agent_dqn_trainer.py:16-18;
+    merge semantics worker.py:176-192)."""
+
+    def __init__(self, cfg: DualPolicyDQNConfig):
+        from drl_tetris_tpu.algos.dual import (
+            WinRateTracker, dual_policy_subsegment, make_dual_rollout_fn,
+            merge_dual_transitions)
+        assert cfg.horizon % 2 == 0
+        # dual mode trains with UNSIGNED gamma (the sign flip exists only
+        # for single-policy perspective alternation, sventon_agent_base.py:76)
+        est = dataclasses.replace(cfg.dqn.estimator, single_policy=False)
+        dqn_cfg = dataclasses.replace(cfg.dqn, estimator=est)
+        self.cfg = cfg
+        self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
+        self.net = QNet(cfg.model, full_network=True)
+        self.rollout = make_dual_rollout_fn(
+            self.env, self.net, cfg.horizon,
+            distribution=cfg.train_distribution)
+        self.init_opt, self.update = make_dqn_update(
+            cfg.env.engine, self.net, dqn_cfg, cfg.replay)
+        self._split = jax.jit(lambda seg: tuple(
+            dual_policy_subsegment(merge_dual_transitions(seg), p)
+            for p in (0, 1)))
+        self.winrate = WinRateTracker(cfg.winrate_lr, cfg.winrate_tolerance)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, k0, k1, kenv = jax.random.split(key, 4)
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.states = [self.init_opt(self.net.init(k, *dummy))
+                       for k in (k0, k1)]
+        self.replays = [replay_init(cfg.replay), replay_init(cfg.replay)]
+        self.env_state = self.env.reset(kenv)
+        self.total_steps = 0
+        self.stats = {}
+        self._ep_len = None
+        self.avg_traj_len = 12.0
+
+    @property
+    def state(self):
+        return self.states[0]
+
+    def _hparams(self):
+        t = self.total_steps
+        return HParams(
+            epsilon=jnp.float32(param_eval(self.cfg.epsilon, t)),
+            temperature=jnp.float32(
+                param_eval(self.cfg.action_temperature, t)),
+            avg_traj_len=jnp.float32(self.avg_traj_len))
+
+    def train_iteration(self):
+        import numpy as np
+        self.key, kroll, ku0, ku1 = jax.random.split(self.key, 4)
+        self.env_state, seg, _ = self.rollout(
+            self.states[0].params, self.states[1].params,
+            self.env_state, kroll, self._hparams())
+        self.winrate.update(self.env.get_winner(self.env_state))
+        if self.cfg.train_distribution == "adaptive_epsilon":
+            if self._ep_len is None:
+                self._ep_len = np.zeros(self.cfg.n_envs, np.int64)
+            self._ep_len, self.avg_traj_len = _traj_len_ema(
+                jax.device_get(seg.done), self._ep_len,
+                self.avg_traj_len, self.cfg.tau_learning_rate)
+        subs = self._split(seg)
+        stats = {}
+        t = self.total_steps
+        ab = (jnp.float32(param_eval(self.cfg.dqn.alpha, t)),
+              jnp.float32(param_eval(self.cfg.dqn.beta, t)))
+        for p, kupd in ((0, ku0), (1, ku1)):
+            self.replays[p] = replay_add_segment(
+                self.cfg.replay, self.replays[p], subs[p],
+                self.cfg.horizon // 2)
+            if int(self.replays[p].size) < self.cfg.dqn.n_samples_each_update:
+                continue
+            # win-rate gate: don't train the policy that's ahead
+            # (sventon_agent_dqn_trainer.py:16-18)
+            if not self.winrate.should_train(p):
+                continue
+            self.states[p], self.replays[p], s = self.update(
+                self.states[p], self.replays[p], kupd, *ab)
+            stats.update({f"policy_{p}/{k}": v
+                          for k, v in fetch_stats(s).items()})
+        self.total_steps += self.cfg.n_envs * self.cfg.horizon
+        stats["winrate/policy_0"] = self.winrate.rate_0
+        self.stats = stats
+        return stats
+
+
+@dataclasses.dataclass(frozen=True)
 class StandaloneSIXtenConfig:
     env: EnvConfig = EnvConfig()
     model: ModelConfig = ModelConfig()
