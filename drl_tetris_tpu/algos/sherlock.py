@@ -89,10 +89,40 @@ def placement_deltas(cfg: EngineConfig, occ, piece, rot):
     return mask, deltas
 
 
+def pose_deltas(cfg: EngineConfig, occ, piece, rot):
+    """Full-action-space deltas: (rest (4, W, H), deltas (4, W, H, H, W))
+    over the complete legal set (top-drop ∪ finesse, masks.legal_rests) —
+    the candidate set the reference's world-model query returns
+    (tetris_environment.py:77-100)."""
+    from drl_tetris_tpu.engine import kernels as K
+    from drl_tetris_tpu.engine.core import N_SYM_ROT
+    H, W = cfg.height, cfg.width
+    rest = M.legal_rests(cfg, occ, piece, rot)
+    n_sym = jnp.asarray(N_SYM_ROT)[piece]
+    rots = jnp.arange(4, dtype=jnp.int32)[:, None]
+    eff_rot = jnp.where(n_sym == 1, rot, jnp.broadcast_to(rots, (4, W)))
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :] - 1, (4, W))
+
+    def one(r, x, m_y):
+        rows = K.lookup_rows(piece, r)
+
+        def at_y(y, m):
+            col, _ = K._piece_column(cfg, rows, y)
+            sh = jnp.where(x >= 0, col << x.astype(jnp.uint32),
+                           col >> (-x).astype(jnp.uint32))
+            return jnp.where(m, field_grid(cfg, sh), 0.0)
+
+        return jax.vmap(at_y)(jnp.arange(H, dtype=jnp.int32), m_y)
+
+    deltas = jax.vmap(jax.vmap(one))(eff_rot, xs, rest)
+    return rest, deltas
+
+
 def action_probabilities(phi_p, deltas, mask):
-    """phi_p: (H, W) for the acting piece; deltas: (4, W, H, W);
-    returns p (4, W) normalized over legal actions."""
-    scores = jnp.sum(deltas * phi_p[None, None], axis=(2, 3))
+    """phi_p: (H, W) for the acting piece; deltas: (..., H, W) per legal
+    candidate ((4, W) top-drop grid or (4, W, H) pose grid); returns p with
+    mask's shape, normalized over legal actions."""
+    scores = jnp.sum(deltas * phi_p[(None,) * mask.ndim], axis=(-2, -1))
     scores = jnp.where(mask, scores, 0.0)
     total = jnp.sum(scores)
     total = jnp.where(total == 0, 1.0, total)   # sherlock_agent.py p_sum==0 guard
@@ -112,15 +142,20 @@ class SherlockSegment(NamedTuple):
     done: jnp.ndarray       # (T, N)
 
 
-def make_sherlock_rollout(env, net: SherlockNet, horizon: int):
+def make_sherlock_rollout(env, net: SherlockNet, horizon: int,
+                          action_space: str = "top_drop"):
     """Self-play rollout with delta-weighted action sampling.  Actions are
     executed as the reference's key macro (rotations from spawn + signed
-    single steps + hard drop, TestField::findNextMove/makeStartSequence)."""
+    single steps + hard drop, TestField::findNextMove/makeStartSequence).
+    With action_space="full" the candidate set is the whole top-drop ∪
+    finesse pose grid (pose_deltas), executed via env.step_pose."""
     from drl_tetris_tpu.engine import step as ES
     from drl_tetris_tpu.engine.pieces import SPAWN_ROT
     from drl_tetris_tpu.algos.rollout import policy_inputs, _perspective_occ
     import numpy as np
     cfg = env.cfg.engine
+    H, W = cfg.height, cfg.width
+    full = action_space == "full"
     spawn_rot_t = tuple(int(x) for x in np.asarray(SPAWN_ROT))
 
     def acting(params, env_state, key):
@@ -134,22 +169,29 @@ def make_sherlock_rollout(env, net: SherlockNet, horizon: int):
             a, player[:, None, None], axis=1)[:, 0]
         occ_p = take(ps.occ)
         rot_p = jnp.take_along_axis(ps.rot, player[:, None], axis=1)[:, 0]
+        fn = pose_deltas if full else placement_deltas
         mask, deltas = jax.vmap(
-            lambda o, pc, rt: placement_deltas(cfg, o, pc, rt)
-        )(occ_p, piece, rot_p)
+            lambda o, pc, rt: fn(cfg, o, pc, rt))(occ_p, piece, rot_p)
         N = phi.shape[0]
         idx = jnp.arange(N)
         phi_p = phi[idx, :, :, piece]
-        p = jax.vmap(action_probabilities)(phi_p, deltas, mask)  # (N,4,W)
+        p = jax.vmap(action_probabilities)(phi_p, deltas, mask)
         logits = jnp.log(jnp.maximum(p.reshape(N, -1), 1e-20))
         a_idx = jax.random.categorical(key, logits, axis=-1)
-        r_abs = a_idx // cfg.width
-        col = a_idx % cfg.width
         prob = p.reshape(N, -1)[idx, a_idx]
-        delta = deltas.reshape(N, -1, cfg.height, cfg.width)[idx, a_idx]
-        delta_sum = jnp.sum(deltas, axis=(1, 2))      # (N, H, W)
+        delta = deltas.reshape(N, -1, H, W)[idx, a_idx]
+        sum_axes = (1, 2, 3) if full else (1, 2)
+        delta_sum = jnp.sum(deltas, axis=sum_axes)    # (N, H, W)
         v_piece = v[idx, piece] if v.shape[-1] > 1 else v[:, 0]
         v_mean = jnp.mean(v, axis=-1)
+        if full:
+            r_enum = a_idx // (W * H)
+            col = (a_idx // H) % W
+            y = a_idx % H
+            return (obs, piece, r_enum, col, y, prob, delta, delta_sum,
+                    v_piece, v_mean)
+        r_abs = a_idx // W
+        col = a_idx % W
         # relative rotations from the spawn rotation of the piece
         spawn = jnp.zeros_like(piece)
         for k in range(7):
@@ -165,14 +207,16 @@ def make_sherlock_rollout(env, net: SherlockNet, horizon: int):
     def step_fn(carry, key):
         params, env_state = carry
         player = env_state.current_player
-        (obs, piece, r_rel, col, prob, delta, delta_sum,
-         v_piece, v_mean) = acting(params, env_state, key)
-        occ = _perspective_occ(env_state, player)
-        # macro translation: t = target col relative to far-left; compute by
-        # stepping with a large t after clamping via slide semantics is not
-        # equivalent — instead use column-targeted placement: t chosen as
-        # col relative to the far-left column of the rotated piece.
-        new_state, reward, done = env.step_place(env_state, r_rel, col)
+        if full:
+            (obs, piece, r, col, y, prob, delta, delta_sum,
+             v_piece, v_mean) = acting(params, env_state, key)
+            occ = _perspective_occ(env_state, player)
+            new_state, reward, done = env.step_pose(env_state, r, col, y)
+        else:
+            (obs, piece, r, col, prob, delta, delta_sum,
+             v_piece, v_mean) = acting(params, env_state, key)
+            occ = _perspective_occ(env_state, player)
+            new_state, reward, done = env.step_place(env_state, r, col)
         seg = SherlockSegment(
             occ=occ, vec=obs.vec, piece=piece, delta=delta,
             delta_sum=delta_sum, prob=prob, v_piece=v_piece, v_mean=v_mean,
@@ -185,7 +229,7 @@ def make_sherlock_rollout(env, net: SherlockNet, horizon: int):
         (params, env_state), seg = jax.lax.scan(
             step_fn, (params, env_state), keys)
         out = acting(params, env_state, jax.random.fold_in(key, horizon))
-        v_last = out[7]
+        v_last = out[-2]
         return env_state, seg, v_last
 
     return rollout

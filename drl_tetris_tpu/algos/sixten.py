@@ -95,7 +95,8 @@ class VNet(nn.Module):
 
 
 def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
-                       distribution: str = "epsilon", epsilon: float = 0.05):
+                       distribution: str = "epsilon", epsilon: float = 0.05,
+                       action_space: str = "top_drop"):
     """Returns policy(params, env_state, key) -> (obs, piece, r_abs, x,
     prob, v_sel, v_mean) — the world-model action selection.
 
@@ -105,9 +106,17 @@ def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
     one batched forward (conditioning the per-piece value on the known next
     piece, which is the current piece of s'), and pick the best (or explore
     with epsilon).  The emitted action is (r_abs, x_target) for
-    env.step_place."""
+    env.step_place.
+
+    action_space="full" enumerates the ENTIRE legal set — top-drop plus
+    finesse tuck/slide/kick rests (engine/masks.pose_boards; the candidate
+    set the reference's world-model agents see via get_actions,
+    tetris_environment.py:77-85) — and the policy then returns the 8-tuple
+    (obs, piece, rot, col, y, prob, v_sel, v_mean) for env.step_pose."""
     cfg = env.cfg.engine
     W = cfg.width
+    H = cfg.height
+    full = action_space == "full"
     spawn_rot = jnp.asarray(_SPAWN_ROT_NP)
 
     def policy(params, env_state, key, hp=None):
@@ -126,16 +135,21 @@ def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
         rot = take(ps.rot)
         nxt = take(ps.nextpiece)
 
-        mask, occ_after, _cleared = jax.vmap(
-            lambda o, g, p, r: M.placement_boards(cfg, o, g, p, r)
-        )(occ, garb, piece, rot)                  # (N,4,W), (N,4,W,H)
+        if full:
+            mask, occ_after, _cleared = jax.vmap(
+                lambda o, g, p, r: M.pose_boards(cfg, o, g, p, r)
+            )(occ, garb, piece, rot)              # (N,4,W,H), (N,4,W,H,H)
+        else:
+            mask, occ_after, _cleared = jax.vmap(
+                lambda o, g, p, r: M.placement_boards(cfg, o, g, p, r)
+            )(occ, garb, piece, rot)              # (N,4,W), (N,4,W,H)
 
         # successor observation: my board replaced by the candidate board,
         # my current piece replaced by the next piece; everything else (opp
         # board, scalars) held fixed — the standard one-ply frozen-opponent
         # approximation the reference's simulate_actions(finalize=False)
         # makes (tetris_environment.py:87-100: garbage/combo not advanced).
-        K = 4 * W
+        K = 4 * W * H if full else 4 * W
         my_grid = field_grid(cfg, occ_after.reshape(N, K, -1))   # (N,K,H,W)
         vec_me = jnp.repeat(obs.vec[:, 0:1, :], K, axis=1)       # (N,K,12)
         # piece one-hot part of vec is the NEXT piece after the placement —
@@ -183,10 +197,6 @@ def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
         # placement can only happen for a dead player; engine ignores it)
         choice = jnp.where(jnp.any(mask.reshape(N, K), axis=1), choice, 0)
 
-        r_abs = choice // W
-        x = (choice % W) - 1          # mask column c corresponds to posX c-1
-        # env.step_place takes cw rotations relative to the CURRENT rotation
-        r_rel = (r_abs - rot) % 4
         idx = jnp.arange(N)
         v_sel = scores[idx, choice]
         v_sel = jnp.where(jnp.isfinite(v_sel), v_sel, 0.0)
@@ -195,39 +205,59 @@ def make_sixten_policy(env: TetrisVectorEnv, net: VNet,
             1.0 / jnp.maximum(jnp.sum(mask.reshape(N, K), axis=1), 1), 1.0)
         v_mean = jnp.mean(jnp.where(mask.reshape(N, K),
                                     v_mean_next, 0.0), axis=1)
+        if full:
+            r_enum = choice // (W * H)
+            c = (choice // H) % W
+            y = choice % H
+            return obs, piece, r_enum, c, y, prob, v_sel, v_mean
+        r_abs = choice // W
+        x = (choice % W) - 1          # mask column c corresponds to posX c-1
+        # env.step_place takes cw rotations relative to the CURRENT rotation
+        r_rel = (r_abs - rot) % 4
         return obs, piece, r_rel, x, prob, v_sel, v_mean
 
     return policy
 
 
 def make_sixten_rollout(env: TetrisVectorEnv, net: VNet, horizon: int,
-                        distribution: str = "epsilon", epsilon: float = 0.05):
+                        distribution: str = "epsilon", epsilon: float = 0.05,
+                        action_space: str = "top_drop"):
     """Like algos.rollout.make_rollout_fn but stepping with column-targeted
     placements (env.step_place) — SIXten's action space is the mask grid,
-    not the (far-left + t rights) macro."""
+    not the (far-left + t rights) macro.  With action_space="full" the
+    policy enumerates the whole top-drop ∪ finesse set and steps with
+    direct pose-locks (env.step_pose)."""
     from drl_tetris_tpu.algos.rollout import Segment, _perspective_occ
 
-    policy = make_sixten_policy(env, net, distribution, epsilon)
+    full = action_space == "full"
+    policy = make_sixten_policy(env, net, distribution, epsilon, action_space)
 
     @jax.jit
     def rollout(params, env_state, key, hp=None):
         def step_fn(carry, key):
             params, env_state = carry
             player = env_state.current_player
-            obs, piece, r_rel, x, prob, v_sel, v_mean = policy(
+            obs, piece, *act, prob, v_sel, v_mean = policy(
                 params, env_state, key, hp)
             occ = _perspective_occ(env_state, player)
-            new_state, reward, done = env.step_place(env_state, r_rel, x)
-            out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r_rel,
-                          trans=jnp.maximum(x, 0), prob=prob, v_piece=v_sel,
+            if full:
+                r_enum, c, y = act
+                new_state, reward, done = env.step_pose(env_state, r_enum, c, y)
+                rec_rot, rec_tr = r_enum, c
+            else:
+                r_rel, x = act
+                new_state, reward, done = env.step_place(env_state, r_rel, x)
+                rec_rot, rec_tr = r_rel, jnp.maximum(x, 0)
+            out = Segment(occ=occ, vec=obs.vec, piece=piece, rot=rec_rot,
+                          trans=rec_tr, prob=prob, v_piece=v_sel,
                           v_mean=v_mean, reward=reward, done=done, player=player)
             return (params, new_state), out
 
         keys = jax.random.split(key, horizon)
         (params, env_state), seg = jax.lax.scan(
             step_fn, (params, env_state), keys)
-        _, _, _, _, _, v_last, _ = policy(
-            params, env_state, jax.random.fold_in(key, horizon), hp)
+        out = policy(params, env_state, jax.random.fold_in(key, horizon), hp)
+        v_last = out[-2]
         return env_state, seg, v_last
 
     return rollout

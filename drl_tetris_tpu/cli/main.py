@@ -77,7 +77,12 @@ def cmd_train(args):
         H, W = cfg.env.engine.height, cfg.env.engine.width
         rnd = net.init(jax.random.PRNGKey(0xE10),
                        [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
-        kind = "world_model" if cfg.flavour == "sixten" else "macro"
+        if cfg.flavour == "sixten":
+            kind = ("world_model_full"
+                    if cfg.settings.get("sixten_action_space") == "full"
+                    else "world_model")
+        else:
+            kind = "macro"
         return TrainingLeague(cfg.env, net, rnd, out_dir=ckpt_dir,
                               games_per_pair=args.league_games, kind=kind)
 
@@ -138,7 +143,8 @@ def cmd_train(args):
             n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
             train_distribution=cfg.train_distribution, seed=args.seed,
             epsilon=cfg.epsilon, action_temperature=cfg.action_temperature,
-            tau_learning_rate=cfg.tau_learning_rate)
+            tau_learning_rate=cfg.tau_learning_rate,
+            action_space=cfg.settings.get("sixten_action_space", "top_drop"))
         tr = StandaloneSIXtenTrainer(scfg, sixten_cfg=cfg.sixten)
     elif cfg.flavour == "sherlock":
         from drl_tetris_tpu.runtime.standalone import (
@@ -146,7 +152,9 @@ def cmd_train(args):
         scfg = SherlockTrainerConfig(
             env=cfg.env, model=cfg.model,
             n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
-            seed=args.seed)
+            seed=args.seed,
+            action_space=cfg.settings.get("sherlock_action_space",
+                                          "top_drop"))
         tr = StandaloneSherlockTrainer(scfg, sherlock_cfg=cfg.sherlock)
     elif not cfg.ppo.single_policy:
         # single_policy=False: two policies training against each other
@@ -240,7 +248,9 @@ def _load_agent(path, cfg, name=None):
     if cfg.flavour == "sixten":
         from drl_tetris_tpu.algos.sixten import VNet
         net = VNet(cfg.model, full_network=True)
-        kind = "world_model"
+        kind = ("world_model_full"
+                if cfg.settings.get("sixten_action_space") == "full"
+                else "world_model")
     elif cfg.flavour == "dqn":
         net = QNet(cfg.model, full_network=True)
     elif cfg.flavour == "sherlock":

@@ -294,6 +294,47 @@ def finesse_rests(cfg: EngineConfig, occ, piece, cur_rot):
     return rest & (enum_ok & mask_td)[:, :, None]
 
 
+@partial(jax.jit, static_argnums=0)
+def legal_rests(cfg: EngineConfig, occ, piece, cur_rot):
+    """The FULL legal placement set the reference's get_actions returns to
+    agents (tetris_environment.py:77-85: TestField's top-drop masks plus
+    finesse emissions): (4, W, H) bool indexed [rot, posX+1, posY].  rot is
+    the enumerated row — pieces with one enumerated rotation (O) execute at
+    their current rotation; execute a cell via env.step_pose."""
+    H = cfg.height
+    mask_td, rest_td = top_drop(cfg, occ, piece, cur_rot)
+    td = (jnp.arange(H, dtype=I32)[None, None, :] == rest_td[:, :, None]) \
+        & mask_td[:, :, None]
+    return td | finesse_rests(cfg, occ, piece, cur_rot)
+
+
+@partial(jax.jit, static_argnums=0)
+def pose_boards(cfg: EngineConfig, occ, garb, piece, cur_rot):
+    """World-model successors over the FULL legal set (top-drop ∪ finesse):
+    (rest (4, W, H), occ_after (4, W, H, H), cleared (4, W, H)) — the
+    fixed-shape analog of simulate_all_actions over get_actions
+    (tetris_environment.py:77-100) that lets SIXten/Sherlock-style agents
+    act on tucks/slides/kick-rests, not just the top-drop grid."""
+    H = cfg.height
+    rest = legal_rests(cfg, occ, piece, cur_rot)
+    rots, xs = _grid_coords(cfg)
+    n_sym = jnp.asarray(N_SYM_ROT)[piece]
+    eff_rot = jnp.where(n_sym == 1, cur_rot, rots)
+
+    def one(r, x, m_y):
+        rows = K.lookup_rows(piece, r)
+
+        def at_y(y, m):
+            o2 = K.add_piece(cfg, occ, rows, x, y)
+            o3, g3, n_cl, _ = K.clear_lines(cfg, o2, garb, y)
+            return jnp.where(m, o3, occ), jnp.where(m, n_cl, 0)
+
+        return jax.vmap(at_y)(jnp.arange(H, dtype=I32), m_y)
+
+    occ_after, cleared = jax.vmap(jax.vmap(one))(eff_rot, xs, rest)
+    return rest, occ_after, cleared
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def reachable(cfg: EngineConfig, occ, piece, cur_rot, start, max_iters: int = 0):
     """Full reachability of (rot, x, y) piece states from the spawn pose via

@@ -545,6 +545,53 @@ def apply_place(cfg, v: PlayerState, r_rel, x_target) -> PlayerState:
     return _hd_make(cfg, v)
 
 
+def apply_pose(cfg, v: PlayerState, rot_abs, col, y) -> PlayerState:
+    """Direct pose-lock: teleport the falling piece to (rot_abs,
+    posX = col-1, posY = y) and hard-drop (zero distance when the pose is a
+    rest).  This is the action interface for FINESSE placements — rests the
+    reference reaches via key paths found by its backtracking search
+    (TestField::findNextMove/tryAllFinesseMoves, TestField.cpp:113-125,
+    174-410); the locked board is identical, only the intermediate
+    animation differs.  An illegal (overlapping/out-of-range) pose is
+    ignored: the piece hard-drops from its current pose instead, so bad
+    arguments cannot corrupt the bitboard."""
+    ext = K.ext_board(cfg, v.occ)
+    rot_abs = jnp.clip(rot_abs, 0, 3)
+    rows = K.lookup_rows(v.piece, rot_abs)
+    px = col - 1
+    ok = K.possible(cfg, ext, rows, px, y)
+    v = v.replace(
+        rot=_sel(ok, rot_abs, v.rot),
+        px=_sel(ok, px, v.px),
+        py=_sel(ok, y, v.py),
+        cur_rows=_sel(ok, rows, v.cur_rows))
+    return _hd_make(cfg, v)
+
+
+def make_phase_pose(cfg, state: EngineState, use, rot_abs, col, y
+                    ) -> EngineState:
+    """make_actions with direct pose-locks (the full get_actions action
+    space: top-drop ∪ finesse, engine/masks.legal_rests)."""
+    ps = state.players
+    for i in range(cfg.n_players):
+        v = _get(ps, i)
+        active = (~v.dead) & use[i]
+        v2 = apply_pose(cfg, v, rot_abs[i], col[i], y[i])
+        ps = _put(ps, i, v2, active, base=v)
+    return state.replace(players=ps)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def step_pose(cfg: EngineConfig, state: EngineState, use, rot_abs, col, y,
+              dt, tables: Optional[RngTables] = None) -> EngineState:
+    """Full tick with direct pose-lock placements."""
+    def run(s):
+        s = make_phase_pose(cfg, s, use, rot_abs, col, y)
+        return finish_phase(cfg, s, dt, tables)
+    new = run(state)
+    return jax.tree.map(lambda a, b: _sel(state.round_over, a, b), state, new)
+
+
 def make_phase_place(cfg, state: EngineState, use, r_rel, x_target) -> EngineState:
     """make_actions with column-targeted placements (the world-model action
     interface used by Sherlock/SIXten-style agents)."""

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from drl_tetris_tpu.engine.core import EngineConfig, EngineState
+from drl_tetris_tpu.engine.core import EngineConfig, EngineState, N_SYM_ROT
 from drl_tetris_tpu.engine import step as S
 from drl_tetris_tpu.env.observations import Obs, observe as build_obs
 
@@ -163,6 +163,61 @@ class TetrisVectorEnv:
         ), reward, done
 
     @partial(jax.jit, static_argnums=0)
+    def step_pose(self, state: EnvState, rot_abs, col, y
+                  ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Like step(), but locking the acting player's piece at an exact
+        pose (rot, posX+1=col, posY=y) — the execution interface for the
+        full get_actions set incl. finesse rests (engine/masks.legal_rests;
+        reference reaches these via key paths, TestField.cpp:113-125).
+        Pass the ENUMERATED rotation row of the mask; pieces with one
+        enumerated rotation (O) execute at their current rotation."""
+        cfg = self.cfg
+        eng = state.engine
+        N = self.n_games
+        player = state.current_player
+        ps = eng.players
+        take = lambda a: jnp.take_along_axis(a, player[:, None], axis=1)[:, 0]
+        n_sym = jnp.asarray(N_SYM_ROT)[take(ps.piece)]
+        rot_exec = jnp.where(n_sym == 1, take(ps.rot), rot_abs)
+        use = jnp.arange(2)[None, :] == player[:, None]
+        r2 = jnp.where(use, rot_exec[:, None], 0)
+        c2 = jnp.where(use, col[:, None], 0)
+        y2 = jnp.where(use, y[:, None], 0)
+        dt = jnp.int32(cfg.time_elapsed_each_action)
+        eng = jax.vmap(
+            lambda e, u, rr, cc, yy: S.step_pose(
+                cfg.engine, e, u, rr, cc, yy, dt)
+        )(eng, use, r2, c2, y2)
+        done = eng.round_over
+        reward = _reward(cfg, eng, player, done)
+        both = jax.vmap(lambda k: jax.random.split(k))(state.key)
+        key, reset_keys = both[:, 0], both[:, 1]
+        eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
+        eng = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((N,) + (1,) * (a.ndim - 1)), b, a),
+            eng, eng_reset)
+        return EnvState(
+            engine=eng, current_player=1 - player, key=key,
+            rounds_played=state.rounds_played + done.astype(jnp.int32),
+        ), reward, done
+
+    @partial(jax.jit, static_argnums=0)
+    def get_actions(self, state: EnvState) -> jnp.ndarray:
+        """(N, 4, W, H) bool: the acting player's full legal placement set
+        (top-drop ∪ finesse) — the get_actions API of the reference
+        (tetris_environment.py:77-85), executable cell-by-cell via
+        step_pose."""
+        from drl_tetris_tpu.engine import masks as M
+        ps = state.engine.players
+        p = state.current_player
+        take = lambda a: jnp.take_along_axis(
+            a, p.reshape((-1,) + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+        return jax.vmap(
+            lambda o, pc, rt: M.legal_rests(self.cfg.engine, o, pc, rt)
+        )(take(ps.occ), take(ps.piece), take(ps.rot))
+
+    @partial(jax.jit, static_argnums=0)
     def step_mixed(self, state: EnvState, use_place, rotations, t_or_x
                    ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
         """Per-game action-kind dispatch: games where ``use_place`` holds
@@ -189,6 +244,51 @@ class TetrisVectorEnv:
                 lambda a, b: S._sel(e.round_over, a, b), e, new)
 
         eng = jax.vmap(one)(eng, use, r2, a2, use_place)
+        done = eng.round_over
+        reward = _reward(cfg, eng, player, done)
+        both = jax.vmap(lambda k: jax.random.split(k))(state.key)
+        key, reset_keys = both[:, 0], both[:, 1]
+        eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
+        eng = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((N,) + (1,) * (a.ndim - 1)), b, a),
+            eng, eng_reset)
+        return EnvState(
+            engine=eng, current_player=1 - player, key=key,
+            rounds_played=state.rounds_played + done.astype(jnp.int32),
+        ), reward, done
+
+    @partial(jax.jit, static_argnums=0)
+    def step_mixed_pose(self, state: EnvState, use_pose, rotations, t_or_c, y
+                        ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Per-game dispatch between pose-lock actions (full get_actions
+        space) and the (r, t) macro — evaluation support for matches where a
+        full-action-space world-model agent meets a macro agent (the pose
+        analog of step_mixed)."""
+        cfg = self.cfg
+        eng = state.engine
+        N = self.n_games
+        player = state.current_player
+        ps = eng.players
+        take = lambda a: jnp.take_along_axis(a, player[:, None], axis=1)[:, 0]
+        n_sym = jnp.asarray(N_SYM_ROT)[take(ps.piece)]
+        rot_exec = jnp.where(n_sym == 1, take(ps.rot), rotations)
+        use = jnp.arange(2)[None, :] == player[:, None]
+        r2m = jnp.where(use, rotations[:, None], 0)
+        r2p = jnp.where(use, rot_exec[:, None], 0)
+        a2 = jnp.where(use, t_or_c[:, None], 0)
+        y2 = jnp.where(use, y[:, None], 0)
+        dt = jnp.int32(cfg.time_elapsed_each_action)
+
+        def one(e, u, rrm, rrp, aa, yy, pose):
+            m1 = S.make_phase_macro(cfg.engine, e, u, rrm, aa)
+            m2 = S.make_phase_pose(cfg.engine, e, u, rrp, aa, yy)
+            m = jax.tree.map(lambda a, b: jnp.where(pose, b, a), m1, m2)
+            new = S.finish_phase(cfg.engine, m, dt, None)
+            return jax.tree.map(
+                lambda a, b: S._sel(e.round_over, a, b), e, new)
+
+        eng = jax.vmap(one)(eng, use, r2m, r2p, a2, y2, use_pose)
         done = eng.round_over
         reward = _reward(cfg, eng, player, done)
         both = jax.vmap(lambda k: jax.random.split(k))(state.key)

@@ -47,25 +47,45 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
     env = TetrisVectorEnv(env_cfg, n_games)
 
     def make_pol(net, dist, kind, eps):
-        if kind == "world_model":
+        if kind in ("world_model", "world_model_full"):
             from drl_tetris_tpu.algos.sixten import make_sixten_policy
             d = {"pi": "boltzmann", "argmax": "argmax",
                  "epsilon": "epsilon"}.get(dist, dist)
-            return make_sixten_policy(env, net, distribution=d, epsilon=eps)
+            space = "full" if kind == "world_model_full" else "top_drop"
+            return make_sixten_policy(env, net, distribution=d, epsilon=eps,
+                                      action_space=space)
         return make_policy_fn(env, net, dist, epsilon=eps)
 
     p0 = make_pol(net0, dist0, kind0, eps0)
     p1 = make_pol(net1, dist1, kind1, eps1)
     wm = (kind0 == "world_model", kind1 == "world_model")
+    fp = (kind0 == "world_model_full", kind1 == "world_model_full")
+    if any(fp) and any(wm):
+        raise NotImplementedError(
+            "full-action-space vs top-drop world-model cross-matches are not "
+            "supported; evaluate both agents with the same action space")
 
     @jax.jit
     def tick(params0, params1, st, key):
         k0, k1 = jax.random.split(key)
-        _, _, r0, t0, *_ = p0(params0, st, k0)
-        _, _, r1, t1, *_ = p1(params1, st, k1)
+
+        def act(p, params, k, is_full):
+            if is_full:
+                _, _, r, c, y, *_ = p(params, st, k)
+                return r, c, y
+            _, _, r, t, *_ = p(params, st, k)
+            return r, t, jnp.zeros_like(r)
+        r0, t0, y0 = act(p0, params0, k0, fp[0])
+        r1, t1, y1 = act(p1, params1, k1, fp[1])
         mine = st.current_player == 0
         r = jnp.where(mine, r0, r1)
         t = jnp.where(mine, t0, t1)
+        y = jnp.where(mine, y0, y1)
+        if all(fp):
+            return env.step_pose(st, r, t, y)
+        if any(fp):
+            use_pose = jnp.where(mine, fp[0], fp[1])
+            return env.step_mixed_pose(st, use_pose, r, t, y)
         if not any(wm):
             return env.step(st, r, t)
         if all(wm):

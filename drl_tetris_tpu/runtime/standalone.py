@@ -119,6 +119,7 @@ class SherlockTrainerConfig:
     model: ModelConfig = ModelConfig()
     n_envs: int = 16
     horizon: int = 32
+    action_space: str = "top_drop"   # or "full" (top-drop ∪ finesse poses)
     seed: int = 0
 
 
@@ -134,7 +135,8 @@ class StandaloneSherlockTrainer:
         self.scfg = sherlock_cfg or SherlockConfig()
         self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
         self.net = SherlockNet(cfg.model, full_network=True)
-        self.rollout = make_sherlock_rollout(self.env, self.net, cfg.horizon)
+        self.rollout = make_sherlock_rollout(self.env, self.net, cfg.horizon,
+                                             action_space=cfg.action_space)
         self.init_opt, self.update = make_sherlock_update(
             cfg.env.engine, self.net, self.scfg)
         self._proc = jax.jit(
@@ -350,6 +352,10 @@ class StandaloneSIXtenConfig:
     epsilon: Any = 0.05           # ParamLike: evaluated per iteration
     action_temperature: Any = 1.0
     tau_learning_rate: float = 0.01
+    # "top_drop" = the (4, W) mask grid; "full" = top-drop ∪ finesse rests
+    # executed as direct pose-locks (the reference world-model agents' full
+    # get_actions candidate set, tetris_environment.py:77-85)
+    action_space: str = "top_drop"
     seed: int = 0
 
 
@@ -369,7 +375,8 @@ class StandaloneSIXtenTrainer:
         self.rollout = make_sixten_rollout(
             self.env, self.net, cfg.horizon,
             distribution=cfg.train_distribution,
-            epsilon=param_eval(cfg.epsilon))
+            epsilon=param_eval(cfg.epsilon),
+            action_space=cfg.action_space)
         self.init_opt, self.update = make_sixten_update(
             cfg.env.engine, self.net, self.scfg, cfg.replay)
 

@@ -1,0 +1,71 @@
+"""SIXten over the FULL action space (top-drop ∪ finesse) — VERDICT r1
+item 4: world-model agents act on the same candidate set the reference's
+get_actions exposes (tetris_environment.py:77-85), executed as pose-locks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drl_tetris_tpu.algos.replay import ReplayConfig
+from drl_tetris_tpu.algos.rollout import HParams
+from drl_tetris_tpu.algos.sixten import SixtenConfig, VNet, make_sixten_policy
+from drl_tetris_tpu.engine.core import EngineConfig
+from drl_tetris_tpu.engine import masks as M
+from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
+from drl_tetris_tpu.models.nets import ModelConfig
+from drl_tetris_tpu.runtime.standalone import (
+    StandaloneSIXtenConfig, StandaloneSIXtenTrainer)
+
+ENG = EngineConfig(height=10, width=6)
+TINY = ModelConfig(tower_layers=1, tower_filters=8, val_layers=1,
+                   val_filters=8)
+
+
+def test_full_space_policy_picks_only_legal_poses():
+    env = TetrisVectorEnv(EnvConfig(engine=ENG), 8)
+    net = VNet(TINY, full_network=True)
+    params = net.init(jax.random.PRNGKey(0),
+                      [jnp.zeros((1, 12))] * 2,
+                      [jnp.zeros((1, 10, 6, 1))] * 2)
+    pol = make_sixten_policy(env, net, distribution="epsilon",
+                             action_space="full")
+    st = env.reset(jax.random.PRNGKey(1))
+    hp = HParams(epsilon=jnp.float32(1.0))   # uniform over the legal set
+    picked_non_topdrop = 0
+    for i in range(10):
+        _, _, r, c, y, *_ = pol(params, st, jax.random.PRNGKey(10 + i), hp)
+        legal = np.asarray(env.get_actions(st))
+        mask_td = np.zeros_like(legal)
+        p = np.asarray(st.current_player)
+        ps = st.engine.players
+        take = lambda a: np.asarray(a)[np.arange(8), p]
+        for e in range(8):
+            m, rest = M.top_drop(ENG, jnp.asarray(take(ps.occ)[e]),
+                                 jnp.asarray(take(ps.piece)[e]),
+                                 jnp.asarray(take(ps.rot)[e]))
+            m, rest = np.asarray(m), np.asarray(rest)
+            for rr in range(4):
+                for cc in range(ENG.width):
+                    if m[rr, cc]:
+                        mask_td[e, rr, cc, rest[rr, cc]] = True
+            if legal[e].any():
+                assert legal[e, int(r[e]), int(c[e]), int(y[e])], (
+                    f"env {e} picked illegal pose {(int(r[e]), int(c[e]), int(y[e]))}")
+                if not mask_td[e, int(r[e]), int(c[e]), int(y[e])]:
+                    picked_non_topdrop += 1
+        st, _, _ = env.step_pose(st, r, c, y)
+    # uniform exploration over the full set must reach finesse rests when
+    # they exist; random stacking on a narrow board produces them
+    assert picked_non_topdrop >= 1, "no finesse pose was ever picked"
+
+
+def test_sixten_full_space_trains():
+    cfg = StandaloneSIXtenConfig(
+        env=EnvConfig(engine=ENG), model=TINY,
+        replay=ReplayConfig(capacity=512, k_step=2, height=10),
+        n_envs=8, horizon=8, action_space="full")
+    tr = StandaloneSIXtenTrainer(
+        cfg, sixten_cfg=SixtenConfig(n_samples_each_update=32,
+                                     minibatch_size=8, n_train_epochs=1))
+    for _ in range(3):
+        stats = tr.train_iteration()
+    assert stats and np.isfinite(stats["tot_loss"])
