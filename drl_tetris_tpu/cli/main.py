@@ -283,19 +283,31 @@ def _check_compat(cfgs):
 
 def cmd_eval(args):
     from drl_tetris_tpu.runtime.evaluate import round_robin
-    cli_cfg = _load_cfg(args)
-    loaded = [_load_agent(p, cli_cfg) for p in args.checkpoints]
-    if len(loaded) == 1:
-        loaded.append(_load_agent("random", loaded[0][1], name="random"))
-    agents = [a for a, _ in loaded]
-    _check_compat([c for _, c in loaded])
-    cfg = loaded[0][1]
-    board = round_robin(cfg.env, agents, games_per_pair=args.games,
-                        seed=args.seed, render=args.render)
-    print(board.score_table())
-    from drl_tetris_tpu.utils.elo import elo_table, fit_elo
-    print("\nElo (Bradley-Terry MLE):")
-    print(elo_table(fit_elo(board)))
+
+    def load_all():
+        cli_cfg = _load_cfg(args)
+        loaded = [_load_agent(p, cli_cfg) for p in args.checkpoints]
+        if len(loaded) == 1:
+            loaded.append(_load_agent("random", loaded[0][1], name="random"))
+        _check_compat([c for _, c in loaded])
+        return [a for a, _ in loaded], loaded[0][1]
+
+    rnd = 0
+    while True:
+        # per-round weight reload: spectate a live training run
+        # (eval.py:196-205 --reload)
+        agents, cfg = load_all()
+        board = round_robin(cfg.env, agents, games_per_pair=args.games,
+                            seed=args.seed + rnd, render=args.render)
+        print(board.score_table())
+        from drl_tetris_tpu.utils.elo import elo_table, fit_elo
+        print("\nElo (Bradley-Terry MLE):")
+        print(elo_table(fit_elo(board)))
+        if not args.reload:
+            return
+        rnd += 1
+        print(f"\n[reload] round {rnd}: reloading weights...", flush=True)
+        time.sleep(args.reload)
 
 
 def cmd_play(args):
@@ -308,6 +320,8 @@ def cmd_play(args):
 
 
 def cmd_print_config(args):
+    if args.diff:
+        return _print_config_diff(*args.diff)
     cfg = _load_cfg(args)
     print(f"# presets: {args.presets}")
     for section in ("env", "model", "ppo", "dqn", "replay"):
@@ -316,6 +330,31 @@ def cmd_print_config(args):
     print("\n[merged settings]")
     for k in sorted(cfg.settings):
         print(f"  {k:<36} {cfg.settings[k]!r}")
+
+
+def _print_config_diff(path_a, path_b):
+    """Diff two settings side-files (checkpoint dirs or settings.json
+    paths) — tools/settings_printer.py:25-36."""
+    from drl_tetris_tpu.runtime.checkpoint import load_settings
+
+    def load_one(p):
+        if p.endswith(".json"):
+            p = os.path.dirname(p) or "."
+        s = load_settings(p)
+        if s is None:
+            raise SystemExit(f"no settings side-file found for {p}")
+        return s
+
+    a, b = load_one(path_a), load_one(path_b)
+    keys = sorted(set(a) | set(b))
+    same = True
+    for k in keys:
+        va, vb = a.get(k, "<absent>"), b.get(k, "<absent>")
+        if va != vb:
+            same = False
+            print(f"  {k:<36} {va!r:<28} != {vb!r}")
+    if same:
+        print("settings are identical")
 
 
 def _force_platform(name):
@@ -497,6 +536,9 @@ def main(argv=None):
     e.add_argument("--games", type=int, default=16)
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--render", action="store_true")
+    e.add_argument("--reload", type=float, default=0.0, metavar="SECONDS",
+                   help="re-run forever, reloading weights between rounds "
+                        "(spectate a live training run, eval.py:196-205)")
     e.set_defaults(fn=cmd_eval)
 
     w = sub.add_parser("play", help="watch a game")
@@ -507,6 +549,9 @@ def main(argv=None):
 
     c = sub.add_parser("print-config", help="dump the resolved configuration")
     _add_common(c)
+    c.add_argument("--diff", nargs=2, metavar=("A", "B"),
+                   help="diff two settings side-files (checkpoint dirs), "
+                        "settings_printer.py:25-36")
     c.set_defaults(fn=cmd_print_config)
 
     def _add_proc(sp):
