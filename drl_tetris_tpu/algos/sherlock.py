@@ -129,6 +129,93 @@ def action_probabilities(phi_p, deltas, mask):
     return scores / total
 
 
+def sherlock_candidate_probs(cfg: EngineConfig, net, params, obs, env_state,
+                             full: bool):
+    """Shared candidate scoring for training and evaluation: the phi·delta
+    probability of every legal placement of the acting player's piece
+    (delta_ppo semantics, agents/sherlock_agent/sherlock_agent.py
+    get_action).  Returns (p, mask, deltas, piece, v_piece, v_mean) with
+    p/mask shaped (N, 4, W[, H])."""
+    from drl_tetris_tpu.algos.rollout import policy_inputs
+    vec, vis = policy_inputs(obs)
+    phi, v = net.apply(params, vec, vis)          # (N,H,W,P), (N,P)
+    piece = obs.piece[:, 0]
+    player = env_state.current_player
+    ps = env_state.engine.players
+    take = lambda a: jnp.take_along_axis(
+        a, player[:, None, None], axis=1)[:, 0]
+    occ_p = take(ps.occ)
+    rot_p = jnp.take_along_axis(ps.rot, player[:, None], axis=1)[:, 0]
+    fn = pose_deltas if full else placement_deltas
+    mask, deltas = jax.vmap(
+        lambda o, pc, rt: fn(cfg, o, pc, rt))(occ_p, piece, rot_p)
+    N = phi.shape[0]
+    idx = jnp.arange(N)
+    phi_p = phi[idx, :, :, piece]
+    p = jax.vmap(action_probabilities)(phi_p, deltas, mask)
+    v_piece = v[idx, piece] if v.shape[-1] > 1 else v[:, 0]
+    v_mean = jnp.mean(v, axis=-1)
+    return p, mask, deltas, piece, v_piece, v_mean
+
+
+def make_sherlock_policy(env, net: "SherlockNet", distribution: str = "argmax",
+                         epsilon: float = 0.05,
+                         action_space: str = "top_drop"):
+    """Evaluation policy over the sherlock candidate distribution, so
+    delta-PPO checkpoints can enter tournaments/leagues like every other
+    flavour (scripts/eval.py evaluates all agent types uniformly).
+
+    Returns ``policy(params, env_state, key)`` with make_sixten_policy's
+    output contract: top-drop -> (obs, piece, r_rel, col, prob, v_piece,
+    v_mean) for env.step_place; "full" -> (obs, piece, rot_enum, col, y,
+    prob, v_piece, v_mean) for env.step_pose.  Distributions: "argmax"
+    (most probable placement), "pi"/"boltzmann" (sample phi·delta — the
+    training distribution), "epsilon" (epsilon-uniform over legal, else
+    argmax; epsilon=1.0 is the league's random anchor)."""
+    import numpy as np
+    from drl_tetris_tpu.engine.pieces import SPAWN_ROT
+    cfg = env.cfg.engine
+    H, W = cfg.height, cfg.width
+    full = action_space == "full"
+    spawn_rot_t = tuple(int(x) for x in np.asarray(SPAWN_ROT))
+
+    def policy(params, env_state, key, hp=None):
+        obs = env.observe(env_state)
+        p, mask, _deltas, piece, v_piece, v_mean = sherlock_candidate_probs(
+            cfg, net, params, obs, env_state, full)
+        N = p.shape[0]
+        idx = jnp.arange(N)
+        pf = p.reshape(N, -1)
+        mf = mask.reshape(N, -1)
+        greedy = jnp.argmax(jnp.where(mf, pf, -1.0), axis=-1)
+        if distribution in ("pi", "boltzmann"):
+            logits = jnp.where(mf, jnp.log(jnp.maximum(pf, 1e-20)), -jnp.inf)
+            a_idx = jax.random.categorical(key, logits, axis=-1)
+        elif distribution == "epsilon":
+            ke, ku = jax.random.split(key)
+            uni = jax.random.categorical(
+                ku, jnp.where(mf, 0.0, -jnp.inf), axis=-1)
+            explore = jax.random.bernoulli(ke, epsilon, (N,))
+            a_idx = jnp.where(explore, uni, greedy)
+        else:
+            a_idx = greedy
+        prob = pf[idx, a_idx]
+        if full:
+            r_enum = a_idx // (W * H)
+            col = (a_idx // H) % W
+            y = a_idx % H
+            return obs, piece, r_enum, col, y, prob, v_piece, v_mean
+        r_abs = a_idx // W
+        x = (a_idx % W) - 1   # mask column c -> posX c-1 (step_place units)
+        spawn = jnp.zeros_like(piece)
+        for k in range(7):
+            spawn = jnp.where(piece == k, spawn_rot_t[k], spawn)
+        r_rel = jnp.mod(r_abs - spawn, 4)
+        return obs, piece, r_rel, x, prob, v_piece, v_mean
+
+    return policy
+
+
 class SherlockSegment(NamedTuple):
     occ: jnp.ndarray        # (T, N, 2, H) uint32
     vec: jnp.ndarray        # (T, N, 2, 12)
@@ -160,30 +247,16 @@ def make_sherlock_rollout(env, net: SherlockNet, horizon: int,
 
     def acting(params, env_state, key):
         obs = env.observe(env_state)
-        vec, vis = policy_inputs(obs)
-        phi, v = net.apply(params, vec, vis)          # (N,H,W,P), (N,P)
-        piece = obs.piece[:, 0]
-        player = env_state.current_player
-        ps = env_state.engine.players
-        take = lambda a: jnp.take_along_axis(
-            a, player[:, None, None], axis=1)[:, 0]
-        occ_p = take(ps.occ)
-        rot_p = jnp.take_along_axis(ps.rot, player[:, None], axis=1)[:, 0]
-        fn = pose_deltas if full else placement_deltas
-        mask, deltas = jax.vmap(
-            lambda o, pc, rt: fn(cfg, o, pc, rt))(occ_p, piece, rot_p)
-        N = phi.shape[0]
+        p, mask, deltas, piece, v_piece, v_mean = sherlock_candidate_probs(
+            cfg, net, params, obs, env_state, full)
+        N = p.shape[0]
         idx = jnp.arange(N)
-        phi_p = phi[idx, :, :, piece]
-        p = jax.vmap(action_probabilities)(phi_p, deltas, mask)
         logits = jnp.log(jnp.maximum(p.reshape(N, -1), 1e-20))
         a_idx = jax.random.categorical(key, logits, axis=-1)
         prob = p.reshape(N, -1)[idx, a_idx]
         delta = deltas.reshape(N, -1, H, W)[idx, a_idx]
         sum_axes = (1, 2, 3) if full else (1, 2)
         delta_sum = jnp.sum(deltas, axis=sum_axes)    # (N, H, W)
-        v_piece = v[idx, piece] if v.shape[-1] > 1 else v[:, 0]
-        v_mean = jnp.mean(v, axis=-1)
         if full:
             r_enum = a_idx // (W * H)
             col = (a_idx // H) % W
@@ -191,17 +264,15 @@ def make_sherlock_rollout(env, net: SherlockNet, horizon: int,
             return (obs, piece, r_enum, col, y, prob, delta, delta_sum,
                     v_piece, v_mean)
         r_abs = a_idx // W
-        col = a_idx % W
+        # mask column c corresponds to posX c-1 (step_place's x_target is
+        # in posX units — the same -1 the sixten policy applies)
+        x = (a_idx % W) - 1
         # relative rotations from the spawn rotation of the piece
         spawn = jnp.zeros_like(piece)
         for k in range(7):
             spawn = jnp.where(piece == k, spawn_rot_t[k], spawn)
         r_rel = jnp.mod(r_abs - spawn, 4)
-        # t for the (r, t) macro: target column from far-left.  The macro
-        # executor slides far-left first; t rights reach column x_target
-        # exactly when the path is clear (same assumption the reference's
-        # key macro makes, TestField.cpp:44-49).
-        return (obs, piece, r_rel, col, prob, delta, delta_sum,
+        return (obs, piece, r_rel, x, prob, delta, delta_sum,
                 v_piece, v_mean)
 
     def step_fn(carry, key):

@@ -81,6 +81,10 @@ def cmd_train(args):
             kind = ("world_model_full"
                     if cfg.settings.get("sixten_action_space") == "full"
                     else "world_model")
+        elif cfg.flavour == "sherlock":
+            kind = ("sherlock_full"
+                    if cfg.settings.get("sherlock_action_space") == "full"
+                    else "sherlock")
         else:
             kind = "macro"
         return TrainingLeague(cfg.env, net, rnd, out_dir=ckpt_dir,
@@ -254,9 +258,11 @@ def _load_agent(path, cfg, name=None):
     elif cfg.flavour == "dqn":
         net = QNet(cfg.model, full_network=True)
     elif cfg.flavour == "sherlock":
-        raise SystemExit(
-            f"{path}: sherlock checkpoints have no standalone eval policy "
-            "yet; evaluate via StandaloneSherlockTrainer")
+        from drl_tetris_tpu.algos.sherlock import SherlockNet
+        net = SherlockNet(cfg.model, full_network=True)
+        kind = ("sherlock_full"
+                if cfg.settings.get("sherlock_action_space") == "full"
+                else "sherlock")
     else:
         net = PPONet(cfg.model, full_network=True)
     H, W = cfg.env.engine.height, cfg.env.engine.width

@@ -29,8 +29,11 @@ class EvalAgent:
     net: object
     distribution: str = "argmax"   # eval_distribution (presets.py:128)
     # "macro": action-head nets emitting the (r, t) macro (SVENton/QNet);
-    # "world_model": value-only nets acting by one-ply search over legal
-    # placements (SIXten's VNet) — stepped with column-targeted placements.
+    # "world_model"/"world_model_full": value-only nets acting by one-ply
+    # search over legal placements (SIXten's VNet) — stepped with
+    # column-targeted placements / exact pose locks;
+    # "sherlock"/"sherlock_full": delta-PPO nets acting via phi·delta
+    # placement probabilities (same step interfaces).
     kind: str = "macro"
     epsilon: float = 0.05          # for epsilon-distributions (1.0 = random)
 
@@ -54,12 +57,20 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
             space = "full" if kind == "world_model_full" else "top_drop"
             return make_sixten_policy(env, net, distribution=d, epsilon=eps,
                                       action_space=space)
+        if kind in ("sherlock", "sherlock_full"):
+            from drl_tetris_tpu.algos.sherlock import make_sherlock_policy
+            space = "full" if kind == "sherlock_full" else "top_drop"
+            return make_sherlock_policy(env, net, distribution=dist,
+                                        epsilon=eps, action_space=space)
         return make_policy_fn(env, net, dist, epsilon=eps)
 
     p0 = make_pol(net0, dist0, kind0, eps0)
     p1 = make_pol(net1, dist1, kind1, eps1)
-    wm = (kind0 == "world_model", kind1 == "world_model")
-    fp = (kind0 == "world_model_full", kind1 == "world_model_full")
+    # placement-action agents (step_place) vs exact-pose agents (step_pose)
+    wm = (kind0 in ("world_model", "sherlock"),
+          kind1 in ("world_model", "sherlock"))
+    fp = (kind0 in ("world_model_full", "sherlock_full"),
+          kind1 in ("world_model_full", "sherlock_full"))
     if any(fp) and any(wm):
         raise NotImplementedError(
             "full-action-space vs top-drop world-model cross-matches are not "
