@@ -18,16 +18,10 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    # 2000 ticks per dispatch: the axon tunnel costs ~30 ms fixed latency
-    # per jitted call, which at 200 ticks was 35% of the measurement; the
-    # metric is sustained throughput, not tunnel round-trip.
-    n_games = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+def bench_xla(cfg, n_games, n_iters):
+    """env-steps/s of the XLA scan path (env.step under one jitted scan)."""
+    from drl_tetris_tpu.env.env import TetrisVectorEnv
 
-    from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
-
-    cfg = EnvConfig()
     env = TetrisVectorEnv(cfg, n_games)
     st = env.reset(jax.random.PRNGKey(0))
 
@@ -56,8 +50,60 @@ def main():
     sync = float(st.rounds_played.sum())
     dt = time.perf_counter() - t0
     assert sync > 0.0
+    return n_games * n_iters / dt
 
-    steps_per_s = n_games * n_iters / dt
+
+def bench_pallas(cfg, n_games, n_iters, block_games=None):
+    """env-steps/s of the Pallas whole-rollout kernel (state in VMEM for
+    all n_iters ticks; engine/pallas_tick.py).  Bit-exactness with the XLA
+    path is gated by tests/test_pallas_tick.py."""
+    from drl_tetris_tpu.engine.pallas_tick import rollout_pallas
+    from drl_tetris_tpu.env.env import TetrisVectorEnv
+
+    env = TetrisVectorEnv(cfg, n_games)
+    st = env.reset(jax.random.PRNGKey(0))
+    bg = block_games or min(1024, n_games)
+
+    def run(st, seed):
+        return rollout_pallas(cfg, st, n_iters,
+                              base_key=jax.random.key_data(
+                                  jax.random.PRNGKey(seed)),
+                              block_games=bg)
+
+    st = run(st, 1)
+    sync = float(st.rounds_played.sum())
+    t0 = time.perf_counter()
+    st = run(st, 2)
+    sync = float(st.rounds_played.sum())
+    dt = time.perf_counter() - t0
+    assert sync > 0.0
+    return n_games * n_iters / dt
+
+
+def main():
+    # 2000 ticks per dispatch: the axon tunnel costs ~30 ms fixed latency
+    # per jitted call, which at 200 ticks was 35% of the measurement; the
+    # metric is sustained throughput, not tunnel round-trip.
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_games = int(args[0]) if args else 4096
+    n_iters = int(args[1]) if len(args) > 1 else 2000
+
+    from drl_tetris_tpu.env.env import EnvConfig
+
+    cfg = EnvConfig()
+
+    # Engine headline: best of the two equivalent rollout programs.  The
+    # Pallas kernel keeps state in VMEM across ticks; the XLA scan is the
+    # portable fallback.  --xla / --pallas force one path.
+    xla_sps = pallas_sps = None
+    if "--pallas" not in sys.argv:
+        xla_sps = bench_xla(cfg, n_games, n_iters)
+    if "--xla" not in sys.argv:
+        try:
+            pallas_sps = bench_pallas(cfg, n_games, n_iters)
+        except Exception as e:
+            print(f"pallas bench failed: {e}", file=sys.stderr)
+    steps_per_s = max(s for s in (xla_sps, pallas_sps) if s is not None)
     baseline = 5_000_000.0
 
     # Secondary metric: NN-in-the-loop training throughput (standalone
@@ -78,6 +124,10 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / baseline, 4),
     }
+    if xla_sps is not None:
+        out["xla_env_steps_per_s"] = round(xla_sps, 1)
+    if pallas_sps is not None:
+        out["pallas_env_steps_per_s"] = round(pallas_sps, 1)
     if train_sps is not None:
         out["train_env_steps_per_s_512_envs"] = round(train_sps, 1)
     print(json.dumps(out))
