@@ -1,5 +1,5 @@
 # drl-tetris-tpu build & test targets (the reference's Makefile analog).
-.PHONY: all kv oracle test bench clean up
+.PHONY: all kv oracle test test-quick bench clean up
 
 # Topology launcher: tetrikv + 1 trainer + N workers as local processes
 # (the docker-compose analog: trainer x1 + worker x3 + redis,
@@ -20,6 +20,11 @@ oracle:
 
 test:
 	python -m pytest tests/ -x -q
+
+# fast subset: skips the oracle-lockstep / heavy-compile modules (~20 min
+# saved on this 2-CPU box); run `make test` before shipping engine changes
+test-quick:
+	python -m pytest tests/ -x -q -m 'not slow'
 
 bench:
 	python bench.py

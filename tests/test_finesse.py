@@ -14,6 +14,10 @@ from drl_tetris_tpu.engine import masks as M
 from tests.oracle import Oracle
 from tests.test_parity import jax_reset_like_oracle
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compiles; deselect with -m 'not slow'
+
 CFG = EngineConfig()
 
 

@@ -19,6 +19,10 @@ from drl_tetris_tpu.engine import rng
 from drl_tetris_tpu.engine.core import EngineConfig
 from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compiles; deselect with -m 'not slow'
+
 
 def test_rng_matches_jax_random():
     key = jax.random.PRNGKey(987)

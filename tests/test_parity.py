@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # bit-exact oracle lockstep; deselect with -m 'not slow'
+
 from drl_tetris_tpu.engine.core import EngineConfig, zeros_player_state, EngineState
 from drl_tetris_tpu.engine import step as S
 from tests.oracle import Oracle
