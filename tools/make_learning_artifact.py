@@ -43,6 +43,10 @@ def main():
     ap.add_argument("run_dir")
     ap.add_argument("--vs", default=None,
                     help="checkpoint dir to play the final snapshot against")
+    ap.add_argument("--also", default=None,
+                    help="second run dir whose curve is embedded alongside "
+                         "(e.g. the hot-lr demo run next to the canonical "
+                         "reference-config run)")
     ap.add_argument("--games", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="LEARNING.json")
@@ -74,6 +78,25 @@ def main():
         "final_ratings": final["ratings"],
         "settings": settings,
     }
+
+    if args.also:
+        e2 = load_curve(args.also)
+        f2 = e2[-1]
+        s2 = None
+        sp2 = os.path.join(args.also, "settings.json")
+        if os.path.exists(sp2):
+            with open(sp2) as f:
+                s2 = json.load(f)
+        out["also_run"] = {
+            "run_dir": args.also,
+            "total_steps": f2["step"],
+            "snapshots": len(e2),
+            "final_elo": f2["ratings"].get(f2["snapshot"]),
+            "anchor_elo": f2["ratings"].get("random", 1000.0),
+            "curve": [{"step": e["step"],
+                       "elo": e["ratings"].get(e["snapshot"])} for e in e2],
+            "settings": s2,
+        }
 
     if args.vs:
         from drl_tetris_tpu.cli.main import _check_compat, _load_agent
