@@ -81,6 +81,8 @@ def bench_pallas(cfg, n_games, n_iters, block_games=None):
 
 
 def main():
+    from drl_tetris_tpu import enable_compilation_cache
+    enable_compilation_cache()
     # 2000 ticks per dispatch: the axon tunnel costs ~30 ms fixed latency
     # per jitted call, which at 200 ticks was 35% of the measurement; the
     # metric is sustained throughput, not tunnel round-trip.

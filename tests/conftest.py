@@ -14,3 +14,9 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from drl_tetris_tpu import enable_compilation_cache  # noqa: E402
+
+# The engine step (~40 s) and finesse kernel (~10 min) dominate suite
+# wall-time on this box; persist their compiles across pytest runs.
+enable_compilation_cache()
