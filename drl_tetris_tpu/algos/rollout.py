@@ -114,6 +114,77 @@ def make_policy_fn(env: TetrisVectorEnv, net, distribution: str = "pi",
     return policy
 
 
+def make_pool_rollout_fn(env: TetrisVectorEnv, net, horizon: int,
+                         distribution: str = "pi", **policy_kwargs):
+    """Self-play rollout against a FROZEN opponent policy (league-pool
+    training): the learner acts on its parity of ticks, the opponent
+    snapshot on the other, and only the learner's decisions are trained on
+    (pool_segment_to_batch slices them out).
+
+    All single-policy semantics are preserved — alternating perspective,
+    negated-gamma GAE — because the opponent is simply part of the
+    environment from the learner's point of view; values for GAE are the
+    LEARNER's estimates at every tick (the opponent only chooses actions).
+    This is beyond the reference (which always self-plays the current
+    policy, a known cycling risk); the league pool is the same one the Elo
+    tracker keeps (runtime/league.py).
+
+    Returns rollout(params, opp_params, env_state, key, learner_first)
+    -> (env_state', Segment, v_piece_last); horizon must be even, and
+    `learner_first` (static) should alternate across iterations so the
+    learner trains on both seats."""
+    assert horizon % 2 == 0, horizon
+    policy = make_policy_fn(env, net, distribution, **policy_kwargs)
+
+    def learner_values(params, obs, piece):
+        vec, vis = policy_inputs(obs)
+        out = net.apply(params, vec, vis)
+        if len(out) == 2:
+            _, v = out
+        else:
+            _, vq, _ = out
+            v = jnp.broadcast_to(vq, (vq.shape[0], 1))
+        idx = jnp.arange(v.shape[0])
+        v_piece = v[idx, piece] if v.shape[-1] > 1 else v[:, 0]
+        return v_piece, jnp.mean(v, axis=-1)
+
+    @partial(jax.jit, static_argnames=("learner_first",))
+    def rollout(params, opp_params, env_state, key, hp: HParams = None,
+                learner_first: bool = True):
+        def one_tick(acting_params, value_params, env_state, k):
+            player = env_state.current_player
+            obs, piece, r, t, prob, vp, vm = policy(
+                acting_params, env_state, k, hp)
+            if acting_params is not value_params:
+                # GAE consumes the LEARNER's value estimates
+                vp, vm = learner_values(value_params, obs, piece)
+            occ = _perspective_occ(env_state, player)
+            new_state, reward, done = env.step(env_state, r, t)
+            seg = Segment(occ=occ, vec=obs.vec, piece=piece, rot=r, trans=t,
+                          prob=prob, v_piece=vp, v_mean=vm,
+                          reward=reward, done=done, player=player)
+            return new_state, seg
+
+        def pair_step(carry, keys2):
+            env_state = carry
+            first = params if learner_first else opp_params
+            second = opp_params if learner_first else params
+            env_state, seg_a = one_tick(first, params, env_state, keys2[0])
+            env_state, seg_b = one_tick(second, params, env_state, keys2[1])
+            pair = jax.tree.map(lambda a, b: jnp.stack([a, b]), seg_a, seg_b)
+            return env_state, pair
+
+        keys = jax.random.split(key, horizon).reshape(horizon // 2, 2, -1)
+        env_state, pairs = jax.lax.scan(pair_step, env_state, keys)
+        seg = jax.tree.map(
+            lambda a: a.reshape((horizon,) + a.shape[2:]), pairs)
+        _, piece, _, _, _, v_piece_last, _ = policy(
+            params, env_state, jax.random.fold_in(key, horizon), hp)
+        return env_state, seg, v_piece_last
+
+    return rollout
+
+
 def make_rollout_fn(env: TetrisVectorEnv, net, horizon: int,
                     distribution: str = "pi", policy=None, **policy_kwargs):
     """Returns rollout(params, env_state, key) -> (env_state', Segment,

@@ -57,11 +57,14 @@ class EstimatorConfig:
         return -self.gamma if self.single_policy else self.gamma
 
 
-def make_target_fn(engine_cfg: EngineConfig, ref_net, cfg: EstimatorConfig):
-    """Returns targets(ref_params, windows) -> (n,) float32.
+def kstep_targets(engine_cfg: EngineConfig, ref_net, cfg: EstimatorConfig,
+                  ref_params, windows):
+    """Pure k-step/TD(lambda) target computation — (n,) float32,
+    stop-gradiented (value_estimator.py:100-103).
 
-    windows: the dict from replay_gather_windows — occ (n, k+1, 2, H),
-    vec (n, k+1, 2, 12), reward (n, k+1), done (n, k+1)."""
+    windows: occ (n, k+1, 2, H), vec (n, k+1, 2, 12), reward (n, k+1),
+    done (n, k+1).  Callable from inside any jitted update (the PPO
+    trainer-computes-targets loss calls it per minibatch)."""
     steps = cfg.steps
     gamma = cfg.effective_gamma
 
@@ -76,26 +79,32 @@ def make_target_fn(engine_cfg: EngineConfig, ref_net, cfg: EstimatorConfig):
             v = jnp.mean(v, axis=-1, keepdims=True)           # piece-mean
         return v.reshape(-1)                                  # (n,)
 
+    r = windows["reward"]                                     # (n, k+1)
+    d = windows["done"]
+    dmask = jnp.minimum(1, jnp.cumsum(d, axis=1))
+    done_time = jnp.sum(1 - dmask, axis=1).astype(jnp.float32)    # (n,)
+
+    est_sum = 0.0
+    weight = 0.0
+    for k in steps:
+        e = jnp.zeros_like(done_time)
+        for t in range(k):
+            e = e + r[:, t] * (done_time >= t) * (gamma ** t)
+        vk = v_ref(ref_params, windows["occ"][:, k], windows["vec"][:, k])
+        e = e + vk * (done_time >= k) * (gamma ** k)
+        lam_k = (cfg.lam * (done_time >= k - 1)
+                 if cfg.truncate_aggregation else
+                 jnp.full_like(done_time, cfg.lam))
+        est_sum = est_sum + e * lam_k ** k
+        weight = weight + lam_k ** k
+    return jax.lax.stop_gradient(est_sum / weight)
+
+
+def make_target_fn(engine_cfg: EngineConfig, ref_net, cfg: EstimatorConfig):
+    """Returns jitted targets(ref_params, windows) -> (n,) float32."""
+
     @jax.jit
     def targets(ref_params, windows):
-        r = windows["reward"]                                 # (n, k+1)
-        d = windows["done"]
-        dmask = jnp.minimum(1, jnp.cumsum(d, axis=1))
-        done_time = jnp.sum(1 - dmask, axis=1).astype(jnp.float32)  # (n,)
-
-        est_sum = 0.0
-        weight = 0.0
-        for k in steps:
-            e = jnp.zeros_like(done_time)
-            for t in range(k):
-                e = e + r[:, t] * (done_time >= t) * (gamma ** t)
-            vk = v_ref(ref_params, windows["occ"][:, k], windows["vec"][:, k])
-            e = e + vk * (done_time >= k) * (gamma ** k)
-            lam_k = (cfg.lam * (done_time >= k - 1)
-                     if cfg.truncate_aggregation else
-                     jnp.full_like(done_time, cfg.lam))
-            est_sum = est_sum + e * lam_k ** k
-            weight = weight + lam_k ** k
-        return jax.lax.stop_gradient(est_sum / weight)
+        return kstep_targets(engine_cfg, ref_net, cfg, ref_params, windows)
 
     return targets

@@ -220,6 +220,7 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
     )
     model = ModelConfig(
         compute_dtype=s.get("compute_dtype", "bfloat16"),
+        architecture=s.get("architecture", "silver"),   # network.py:25-32
         n_pieces=7,
         tower_layers=s.get("tower_layers", 5),
         tower_filters=s.get("tower_filters", 64),
@@ -248,6 +249,13 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         compress_advantages=s.get("compress_advantages", None),
         compress_value_loss=s.get("compress_value_loss", None),
         augment_data=s.get("augment_data", False),
+        workers_computes_advantages=s.get(
+            "workers_computes_advantages", True),       # presets.py:23
+        n_step_value_estimates=s.get("n_step_value_estimates", 1),
+        time_to_reference_update=s.get("time_to_reference_update", 1),
+        truncate_aggregation=s.get("truncate_aggregation", True),
+        sparse_value_estimate_filter=tuple(
+            s.get("sparse_value_estimate_filter", ())),
     )
     estimator = EstimatorConfig(
         k_step=s.get("n_step_value_estimates", 5),

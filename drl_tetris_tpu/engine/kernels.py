@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from drl_tetris_tpu.engine.core import EngineConfig, ROW_MASKS
+from drl_tetris_tpu.engine import shifts
 
 _U32_ONES = jnp.uint32(0xFFFFFFFF)
 _ROW_MASKS_NP = np.asarray(ROW_MASKS)  # (7, 4, 4) static host copy
@@ -228,27 +229,17 @@ def clear_lines(cfg: EngineConfig, occ, garb, py):
     full = (occ == jnp.uint32(cfg.full_row)) & in_scan
     n_cleared = jnp.sum(full).astype(jnp.int32)
     n_garb = jnp.sum(full & (garb != 0)).astype(jnp.int32)
-    # suffix count of full rows strictly below each row, as log2(H) static
-    # shift-adds (jnp.cumsum/flip have no Mosaic lowering; the Pallas
-    # whole-rollout kernel traces this same code)
+    # suffix count of full rows strictly below each row (jnp.cumsum/flip
+    # have no Mosaic lowering; engine/shifts.py picks log2(H) shift-adds
+    # under XLA, one MXU matmul inside the Pallas whole-rollout kernel)
     fi = full.astype(jnp.int32)
-    suff = fi
-    s = 1
-    while s < H:
-        suff = suff + jnp.concatenate(
-            [suff[s:], jnp.zeros((s,), jnp.int32)])
-        s *= 2
-    full_below = suff - fi
+    full_below = shifts.suffix_sum(fi) - fi
     occ2 = jnp.zeros_like(occ)
     garb2 = jnp.zeros_like(garb)
-    zk = jnp.zeros((4,), occ.dtype)
     for k in range(5):
         m = (~full) & (full_below == k)          # rows dropping exactly k
-        ok = jnp.where(m, occ, 0)
-        gk = jnp.where(m, garb, 0)
-        if k:
-            ok = jnp.concatenate([zk[:k], ok[:-k]])
-            gk = jnp.concatenate([zk[:k], gk[:-k]])
+        ok = shifts.shift_down(jnp.where(m, occ, 0), k)
+        gk = shifts.shift_down(jnp.where(m, garb, 0), k)
         occ2 = occ2 | ok                          # destinations are disjoint
         garb2 = garb2 | gk
     return occ2, garb2, n_cleared, n_garb
@@ -262,6 +253,12 @@ def add_garbage_line(cfg: EngineConfig, occ, garb, hole):
     # unsigned-reduce lowering, and the closed form is cheaper anyway)
     row = (jnp.uint32((1 << cfg.width) - 1)
            & ~(jnp.uint32(1) << hole.astype(jnp.uint32)))
-    occ2 = jnp.concatenate([occ[1:], row[None]])
-    garb2 = jnp.concatenate([garb[1:], row[None]])
+    # shift + masked bottom-row write instead of a 21+1 concat: Mosaic
+    # rejected exactly that tpu.concatenate under the games-minor layout
+    # (BENCH_r02 'offset mismatch on non-concat dimension').  The mask is
+    # arithmetic 0/1 uint32 — an unbatched CONSTANT bool mask would need an
+    # i1 minor-dim broadcast, which Mosaic cannot lower (see step._put).
+    m = (jnp.arange(cfg.height) == cfg.height - 1).astype(jnp.uint32)
+    occ2 = shifts.shift_up(occ, 1) * (jnp.uint32(1) - m) | row * m
+    garb2 = shifts.shift_up(garb, 1) * (jnp.uint32(1) - m) | row * m
     return occ2, garb2

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from drl_tetris_tpu.engine import rng
+from drl_tetris_tpu.engine import shifts
 from drl_tetris_tpu.engine import step as S
 from drl_tetris_tpu.env.env import EnvConfig, EnvState
 
@@ -59,7 +60,7 @@ def _bsel(pred, a, b):
 
 
 def env_step_batch(cfg: EnvConfig, eng, player, key, rounds, r, t,
-                   games_minor: bool = True):
+                   games_minor: bool = True, bool_tree=None):
     """One full env tick over the whole game batch — the batched body of
     env.TetrisVectorEnv.step (env.py:96-133).  The per-game make/finish and
     reset subroutines are vmapped over the lane axis; the two FULL-STATE
@@ -67,14 +68,28 @@ def env_step_batch(cfg: EnvConfig, eng, player, key, rounds, r, t,
     their scalar-per-game predicates broadcast right-aligned into rank-2
     leaves ((N,) -> (1,1,N)) instead of through vmap's front-batching,
     which Mosaic cannot lower.  Must stay semantically identical to the
-    batch path; the equivalence test enforces it."""
+    batch path; the equivalence test enforces it.
+
+    bool_tree: EngineState-shaped pytree of Python bools marking which
+    leaves are semantically boolean.  When given, ``eng`` carries those
+    leaves as int32 and they are converted to bool PER GAME inside the
+    vmapped subroutines: an i1 vector must never cross the vmap boundary —
+    vmap's axis normalization emits `transpose`/minor-dim broadcasts on
+    batched i1 values, which Mosaic cannot legalize (the r2 hardware
+    failure after the concat fix was exactly a tpu.transpose on i1 from
+    `_get` slicing a batched bool leaf)."""
     ax = -1 if games_minor else 0
     dt = I32(cfg.time_elapsed_each_action)
 
+    def to_bools(e):
+        if bool_tree is None:
+            return e
+        return jax.tree.map(lambda x, b: (x != 0) if b else x, e, bool_tree)
+
     def tick_core(e, p, rr, tt):
         use = jnp.arange(2) == p
-        r2 = jnp.where(use, rr, 0)
-        t2 = jnp.where(use, tt, 0)
+        r2 = S._sel(use, rr, jnp.zeros_like(rr))   # arithmetic select in-kernel
+        t2 = S._sel(use, tt, jnp.zeros_like(tt))
         return S.finish_phase(
             cfg.engine, S.make_phase_macro(cfg.engine, e, use, r2, t2),
             dt, None)
@@ -88,13 +103,16 @@ def env_step_batch(cfg: EnvConfig, eng, player, key, rounds, r, t,
             if jnp.result_type(x) == jnp.bool_ else x, tree)
 
     def _bools_back(tree, template):
+        if bool_tree is not None:       # batch level stays int32 throughout
+            return tree
         return jax.tree.map(
             lambda x, t: (x != 0) if jnp.result_type(t) == jnp.bool_ else x,
             tree, template)
 
     ro = eng.round_over
     stepped = _bools_back(
-        jax.vmap(lambda e, p, rr, tt: _bools_out(tick_core(e, p, rr, tt)),
+        jax.vmap(lambda e, p, rr, tt: _bools_out(
+                     tick_core(to_bools(e), p, rr, tt)),
                  in_axes=ax, out_axes=ax)(eng, player, r, t), eng)
     eng = jax.tree.map(lambda a, b: _bsel(ro, a, b), eng, stepped)
     done = eng.round_over
@@ -104,7 +122,7 @@ def env_step_batch(cfg: EnvConfig, eng, player, key, rounds, r, t,
     else:
         key2, reset_key = ks[:, 0], ks[:, 1]
     eng_reset = _bools_back(
-        jax.vmap(lambda e, k: _bools_out(S.reset(cfg.engine, e, k)),
+        jax.vmap(lambda e, k: _bools_out(S.reset(cfg.engine, to_bools(e), k)),
                  in_axes=ax, out_axes=ax)(eng, reset_key), eng)
     eng = jax.tree.map(lambda a, b: _bsel(done, b, a), eng, eng_reset)
     return eng, 1 - player, key2, rounds + done.astype(I32)
@@ -161,18 +179,24 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
 
     n_state = len(ins)
     width = env_cfg.engine.width
+    # Which engine leaves are semantically bool (carried as int32 in the
+    # kernel; converted per game inside the vmapped subroutines)
+    eng_bool_tree = jax.tree.map(
+        lambda l: bool(l.dtype == jnp.bool_), state.engine)
 
     def kernel(*refs):
         in_refs = refs[:n_state]
         ex_refs = refs[n_state:n_state + len(extra_ins)]
         o_refs = refs[n_state + len(extra_ins):]
 
-        # Loop carry stays int32 for bool leaves: Mosaic materializes
-        # loop-carried i1 vectors as i8 and has no i8->i1 truncation, so
-        # bools only exist as temporaries inside the body.
+        # Loop carry AND batch level stay int32 for bool leaves: Mosaic
+        # materializes loop-carried i1 vectors as i8 with no i8->i1
+        # truncation, and batched i1 values hit unlegalizable transposes /
+        # broadcasts in vmap axis bookkeeping.  Bools only exist as
+        # temporaries inside the per-game subroutines (env_step_batch's
+        # bool_tree conversion).
         def to_state(vals):
-            vs = [v != 0 if b else v for v, b in zip(vals, bool_dtypes)]
-            return jax.tree_util.tree_unflatten(treedef, vs)
+            return jax.tree_util.tree_unflatten(treedef, list(vals))
 
         def from_state(st):
             out, _ = jax.tree_util.tree_flatten(st)
@@ -197,7 +221,8 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
                 rr = (bits % jnp.uint32(4)).astype(I32)
                 tt = ((bits >> jnp.uint32(16)) % jnp.uint32(width)).astype(I32)
             eng, player, key, rounds = env_step_batch(
-                env_cfg, eng, player, key, rounds, rr, tt)
+                env_cfg, eng, player, key, rounds, rr, tt,
+                bool_tree=eng_bool_tree)
             return from_state(EnvState(engine=eng, current_player=player,
                                        key=key, rounds_played=rounds))
 
@@ -206,15 +231,20 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
         for o, v in zip(o_refs, out_vals):
             o[...] = v
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=state_specs + extra_specs,
-        out_shape=out_shapes,
-        out_specs=out_specs,
-        interpret=interpret,
-        debug=bool(int(os.environ.get("PALLAS_TICK_DEBUG", "0"))),
-    )(*ins, *extra_ins)
+    # mxu_shifts: the engine's static H/CAP-axis shifts trace as constant
+    # f32 matmuls instead of sliced-operand concats (engine/shifts.py —
+    # Mosaic rejects tpu.concatenate with mismatched non-concat-dim
+    # layout offsets, the BENCH_r02 hardware failure).
+    with shifts.mxu_shifts():
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=state_specs + extra_specs,
+            out_shape=out_shapes,
+            out_specs=out_specs,
+            interpret=interpret,
+            debug=bool(int(os.environ.get("PALLAS_TICK_DEBUG", "0"))),
+        )(*ins, *extra_ins)
 
     outs = [jnp.moveaxis(o, -1, 0) for o in outs]
     outs = [o.astype(jnp.bool_) if b else o for o, b in zip(outs, bool_dtypes)]

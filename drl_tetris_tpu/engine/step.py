@@ -50,6 +50,7 @@ from drl_tetris_tpu.engine.core import (
 )
 from drl_tetris_tpu.engine import kernels as K
 from drl_tetris_tpu.engine import rng
+from drl_tetris_tpu.engine import shifts
 from drl_tetris_tpu.engine.pieces import SPAWN_ROT as _SPAWN_ROT_NP
 
 I32 = jnp.int32
@@ -65,11 +66,32 @@ class RngTables(NamedTuple):
 
 
 def _sel(pred, a, b):
-    """where(pred, a, b) that routes BOOL leaves through int32: Mosaic
-    lowers select_n over i1 vectors via an i8 mask it then can't truncate
-    back ("Unsupported target bitwidth for truncation"), so inside the
-    Pallas rollout kernel bool selects must be ext->select_i32->cmpi.
-    XLA fuses the casts away on the non-Pallas path (measured neutral)."""
+    """where(pred, a, b) with two Mosaic accommodations (XLA path fuses
+    both away — measured neutral):
+
+    * BOOL leaves route through int32: Mosaic lowers select_n over i1
+      vectors via an i8 mask it can't truncate back.
+    * Inside the Pallas rollout kernel (shifts.mxu_shifts scope) the
+      select is ARITHMETIC — bitwise mask-blend for ints, exact 0/1 lerp
+      for floats — so the i1 predicate is consumed by a convert at birth
+      and never broadcast/moved: vmap's axis bookkeeping otherwise emits
+      `tpu.transpose` / minor-dim broadcasts on i1 vectors whenever the
+      predicate's batch position differs from the operands', and Mosaic
+      cannot legalize those (the r2->r3 hardware failures)."""
+    if shifts.in_mxu_mode():
+        dt = jnp.result_type(a)
+        p = jnp.asarray(pred, jnp.int32)
+        if dt == jnp.bool_:
+            a32, b32 = jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)
+            return (b32 ^ ((a32 ^ b32) & -p)) != 0
+        if jnp.issubdtype(dt, jnp.integer):
+            mask = jnp.asarray(-p, dt)      # 0 or all-ones, any int width
+            return b ^ ((a ^ b) & mask)
+        # float: exact for finite values when p is exactly 0/1 (a*1 = a,
+        # b*0 = +/-0, a + 0 = a); -0.0 may normalize to +0.0, which every
+        # downstream comparison treats identically
+        pf = p.astype(dt)
+        return a * pf + b * (jnp.asarray(1, dt) - pf)
     if jnp.result_type(a) == jnp.bool_:
         return jnp.where(pred, jnp.asarray(a, jnp.int32),
                          jnp.asarray(b, jnp.int32)) != 0
@@ -108,15 +130,10 @@ def _uniform(key, counter, table):
 
 
 def _prefix_sum(x):
-    """Inclusive prefix sum over a small leading axis, as log2(n) static
-    shift-adds (Hillis-Steele).  jnp.cumsum has no Mosaic lowering; this
-    form also vmaps into pure lane work."""
-    n = x.shape[0]
-    s = 1
-    while s < n:
-        x = x + jnp.concatenate([jnp.zeros((s,) + x.shape[1:], x.dtype), x[:-s]])
-        s *= 2
-    return x
+    """Inclusive prefix sum over a small leading axis (jnp.cumsum has no
+    Mosaic lowering; engine/shifts.py lowers Hillis-Steele shift-adds
+    under XLA, one MXU matmul inside the Pallas rollout kernel)."""
+    return shifts.prefix_sum(x)
 
 
 def _select7(idx, values):
@@ -190,13 +207,11 @@ def _shift_left(arr, n):
     [0, CAP].  Binary-decomposed static shifts (log2(CAP) masked selects)
     instead of a one-hot (CAP, CAP) select — ~6x fewer lane ops."""
     CAP = arr.shape[0]
-    z = jnp.zeros_like(arr)
     out = arr
     k = 0
     while (1 << k) <= CAP:
         s = 1 << k
-        shifted = jnp.concatenate([out[s:], z[:s]]) if s < CAP else z
-        out = _sel((n >> k) & 1 != 0, shifted, out)
+        out = _sel((n >> k) & 1 != 0, shifts.shift_up(out, s), out)
         k += 1
     return out
 
@@ -766,7 +781,15 @@ def reset(cfg: EngineConfig, state: EngineState, key,
         return _seed_round(cfg, v, piece_key, hole_key, tables)
 
     views = [per_player(i) for i in range(Pn)]
-    new_ps = jax.tree.map(lambda *xs: jnp.stack(xs), *views)
+
+    def _stack(*xs):
+        # bool leaves stack through int32 (an i1 concatenate makes Mosaic
+        # emit an unsupported i1->i32 vreg bitcast; see _sel)
+        if jnp.result_type(xs[0]) == jnp.bool_:
+            return jnp.stack([jnp.asarray(x, jnp.int32) for x in xs]) != 0
+        return jnp.stack(xs)
+
+    new_ps = jax.tree.map(_stack, *views)
     return EngineState(players=new_ps, round_over=jnp.bool_(False),
                        last_winner=winner)
 
@@ -798,7 +821,16 @@ def _distribute(cfg, incoming, sender, amount):
 
 
 def _get(ps, i):
-    return jax.tree.map(lambda a: a[i], ps)
+    """Slot i of every (P, ...) leaf.  Bool leaves are sliced through
+    int32: slicing a BATCHED i1 leaf makes vmap's axis bookkeeping emit a
+    transpose on an i1 vector, which Mosaic cannot legalize (the Pallas
+    rollout kernel traces this code); the i32 detour reproduces the value
+    with the comparison born at the right batch position."""
+    def g(a):
+        if jnp.result_type(a) == jnp.bool_:
+            return jnp.asarray(a, jnp.int32)[i] != 0
+        return a[i]
+    return jax.tree.map(g, ps)
 
 
 def _put(ps, i, view, pred, base=None):
@@ -881,9 +913,10 @@ def finish_phase(cfg: EngineConfig, state: EngineState, dt, tables) -> EngineSta
 def make_phase_macro(cfg, state: EngineState, use, r, tr) -> EngineState:
     """make_actions with (r, t) macros; use[i] False == null action."""
     ps = state.players
+    use_i32 = jnp.asarray(use, jnp.int32)   # no i1 slicing (see _get)
     for i in range(cfg.n_players):
         v = _get(ps, i)
-        active = (~v.dead) & use[i]
+        active = (~v.dead) & (use_i32[i] != 0)
         v2 = apply_macro(cfg, v, r[i], tr[i])
         ps = _put(ps, i, v2, active, base=v)
     return state.replace(players=ps)

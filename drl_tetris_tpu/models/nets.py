@@ -205,6 +205,19 @@ class KeyboardConv(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+# The reference's architecture registry (network.py:25-32):
+#   silver   -> resblock_kbd   (the only arch that actually builds upstream)
+#   dreamer  -> resblock       (identity advantage head: cannot produce the
+#                               (R,T,P) action plane, sventon_architectures
+#                               .py:52-55 — repaired here with a dense head)
+#   vanilla  -> convthendense  (upstream hits a NameError in
+#                               legacy_build_blocks.create_vectorencoder:22
+#                               ('self' in a free function) — repaired here)
+#   keyboard -> convkeyboard   (same NameErrors :44/:78 + missing settings
+#                               keys — repaired here)
+ARCHITECTURES = ("silver", "vanilla", "keyboard", "dreamer")
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """resblock_kbd settings (experiments/sventon_ppo.py:46-58 defaults).
@@ -216,6 +229,7 @@ class ModelConfig:
     f32 (entropy 3.68 -> ~0.6 over 1.2M steps in both); set 'float32' for
     bit-stable comparisons."""
     compute_dtype: str = "bfloat16"
+    architecture: str = "silver"     # one of ARCHITECTURES (network.py:25-32)
     n_rotations: int = 4
     n_pieces: int = 7
     tower_layers: int = 5
@@ -229,6 +243,12 @@ class ModelConfig:
     visual_stack: Tuple[str, ...] = ()
     used_pieces: Tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6)
 
+    def __post_init__(self):
+        if self.architecture not in ARCHITECTURES:
+            raise ValueError(
+                f"unknown architecture {self.architecture!r}; "
+                f"expected one of {ARCHITECTURES} (network.py:25-32)")
+
     @property
     def piece_mask(self):
         m = [1.0 if p in self.used_pieces else 0.0 for p in range(7)]
@@ -237,9 +257,16 @@ class ModelConfig:
 
 class SventonNet(nn.Module):
     """resblock_kbd (sventon_architectures.py:23-73): the shared trunk
-    producing raw (V, A) streams; heads differ per flavour below."""
+    producing raw (V, A) streams; heads differ per flavour below.
+
+    kbd_head=False is the 'dreamer' (plain resblock) entry: the reference's
+    identity advantage head cannot produce the (R, T, P) action plane
+    (sventon_architectures.py:52-55 returns the raw conv stack), so the
+    repaired variant uses a dense action head over the flattened advantage
+    stream — the same head shape its own 'vanilla' arch uses."""
     cfg: ModelConfig
     full_network: bool = True   # workers skip the value stream (base_architecture.py:63-71)
+    kbd_head: bool = True
 
     @nn.compact
     def __call__(self, vec, vis, deterministic: bool = True):
@@ -269,7 +296,15 @@ class SventonNet(nn.Module):
         adv_in = peephole_join(joined[0], vecp[1], mode="add")
         a = ResidualBlock(output_activation=None, **tower)(adv_in, deterministic)
         a = a.astype(jnp.float32)
-        raw_A = KeyboardConv(c.n_rotations, c.n_pieces)(a)  # (B, R, W, P)
+        if self.kbd_head:
+            raw_A = KeyboardConv(c.n_rotations, c.n_pieces)(a)  # (B, R, W, P)
+        else:
+            W_board = a.shape[2] - 2        # undo the wall padding
+            flat = a.reshape(a.shape[0], -1)
+            raw_A = nn.Dense(
+                c.n_rotations * W_board * c.n_pieces,
+                kernel_init=nn.initializers.glorot_uniform(),
+            )(flat).reshape(-1, c.n_rotations, W_board, c.n_pieces)
         # 7) value stream (trainer-side only)
         if self.full_network:
             vstream = jnp.concatenate(joined + vis, axis=-1)
@@ -347,6 +382,82 @@ class ConvThenDense(nn.Module):
         return raw_V, raw_A
 
 
+def advantage_activation_sqrt(x):
+    """network_utils.advantage_activation_sqrt: sign-preserving sqrt."""
+    return jnp.sign(x) * jnp.sqrt(jnp.abs(x) + 1e-12)
+
+
+class ConvKeyboard(nn.Module):
+    """The 'keyboard' (convkeyboard) legacy architecture
+    (sventon_architectures.py:75-93 + legacy_build_blocks.py), repaired:
+    the upstream free functions dereference an undefined `self`
+    (legacy_build_blocks.py:22,44,78) and require settings keys absent from
+    the keyboardconv preset (keyboard_n_convs), so it cannot build there.
+    This version keeps the documented structure with the keyboardconv
+    preset's constants (presets.py:106-121): dense vector encoders
+    (256 -> 32, tanh out), a 4-conv visual encoder (16,32,32,4; 7x7 then
+    3x3; peepholes on layers 0-2, (2,1) max-pool after layer 2), a
+    keyboard-conv action head on MY visual encoding, and a dense value head
+    (256 hidden, tanh value + centered sqrt-activated piece offsets)."""
+    cfg: ModelConfig
+    full_network: bool = True
+    vec_hidden: int = 256
+    vec_out: int = 32
+    conv_filters: Tuple[int, ...] = (16, 32, 32, 4)
+    peephole_layers: Tuple[int, ...] = (0, 1, 2)
+    pool_after: Tuple[int, ...] = (2,)
+    value_hidden: int = 256
+
+    @nn.compact
+    def __call__(self, vec, vis, deterministic: bool = True):
+        c = self.cfg
+        hidden_vec = []
+        for v in vec:
+            h = nn.elu(nn.Dense(self.vec_hidden)(v))
+            hidden_vec.append(jnp.tanh(nn.Dense(self.vec_out)(h)))
+        encoded = []
+        for v in vis:
+            x = apply_visual_pad(v)
+            for i, f in enumerate(self.conv_filters):
+                k = (7, 7) if i == 0 else (3, 3)
+                y = nn.elu(nn.Conv(f, k, padding="SAME")(x))
+                x = (peephole_join(x, y, mode="concat")
+                     if i in self.peephole_layers else y)
+                if i in self.pool_after:
+                    x = nn.max_pool(x, (2, 1), strides=(2, 1), padding="SAME")
+            encoded.append(x)
+        # action head: "my screen -> my kbd" (sventon_architectures.py:84)
+        raw_A = KeyboardConv(c.n_rotations, c.n_pieces)(encoded[0])
+        flat = hidden_vec + [e.reshape(e.shape[0], -1) for e in encoded]
+        x = jnp.concatenate(flat, axis=-1)
+        if self.full_network:
+            h = nn.elu(nn.Dense(self.value_hidden)(x))
+            v = jnp.tanh(nn.Dense(1)(h))
+            if c.separate_piece_values:
+                vp = nn.Dense(7)(h)
+                vp = 0.5 * advantage_activation_sqrt(
+                    vp - jnp.mean(vp, axis=1, keepdims=True))
+                v = v + vp                               # (B, 7)
+        else:
+            v = jnp.zeros((x.shape[0], 1), jnp.float32)
+        raw_V = v.reshape(v.shape[0], 1, 1, -1)
+        return raw_V, raw_A
+
+
+def make_trunk(cfg: ModelConfig, full_network: bool) -> nn.Module:
+    """The architecture registry (network.py:25-32), resolved from
+    cfg.architecture.  Unknown names raise at ModelConfig construction."""
+    if cfg.architecture == "silver":
+        return SventonNet(cfg, full_network)
+    if cfg.architecture == "dreamer":
+        return SventonNet(cfg, full_network, kbd_head=False)
+    if cfg.architecture == "vanilla":
+        return ConvThenDense(cfg, full_network)
+    if cfg.architecture == "keyboard":
+        return ConvKeyboard(cfg, full_network)
+    raise ValueError(cfg.architecture)
+
+
 class PPONet(nn.Module):
     """ppo_nets' network function (ppo_nets.py:24-33): policy == softmaxed
     keyboard head, value == per-piece tanh values."""
@@ -355,7 +466,8 @@ class PPONet(nn.Module):
 
     @nn.compact
     def __call__(self, vec, vis, deterministic: bool = True):
-        raw_V, raw_A = SventonNet(self.cfg, self.full_network)(vec, vis, deterministic)
+        raw_V, raw_A = make_trunk(self.cfg, self.full_network)(
+            vec, vis, deterministic)
         pi = action_softmax(raw_A)                       # (B, R, W, P)
         v = raw_V.reshape(raw_V.shape[0], -1)            # (B, P) or (B, 1)
         return pi, v
@@ -371,7 +483,8 @@ class QNet(nn.Module):
     @nn.compact
     def __call__(self, vec, vis, deterministic: bool = True):
         c = self.cfg
-        raw_V, raw_A = SventonNet(self.cfg, self.full_network)(vec, vis, deterministic)
+        raw_V, raw_A = make_trunk(self.cfg, self.full_network)(
+            vec, vis, deterministic)
         a = normalize_advantages(
             raw_A, piece_mask=c.piece_mask, mode=self.advantage_mode,
             separate_piece_values=c.separate_piece_values, activation=jnp.tanh)

@@ -51,32 +51,87 @@ class StandaloneConfig:
     n_envs: int = 30              # n_envs_per_thread (sventon_ppo.py:64)
     horizon: int = 72             # ticks per segment; n_envs*horizon >= 2048
     seed: int = 0
+    # value_lr as a Parameter(t) schedule (tools/parameter.py:8-66): when
+    # set, the optimizer's lr is re-evaluated per iteration through
+    # optax.inject_hyperparams (ppo.set_learning_rate); None keeps the
+    # static cfg.ppo.lr.
+    lr_schedule: Any = None
+    # League-pool opponent training (anti-cycling; beyond the reference):
+    # with probability pool_prob an iteration rolls out against a frozen
+    # past snapshot instead of pure self-play, training only the learner's
+    # ticks.  Snapshots are taken every pool_every iterations (0 = never).
+    pool_prob: float = 0.0
+    pool_size: int = 4
+    pool_every: int = 0
 
 
 class StandaloneTrainer:
     def __init__(self, cfg: StandaloneConfig):
+        from drl_tetris_tpu.algos.ppo import segment_to_windows
         self.cfg = cfg
         self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
         self.net = PPONet(cfg.model, full_network=True)
-        self.rollout = make_rollout_fn(self.env, self.net, cfg.horizon)
+        # workers run the value-stream-free net when the trainer computes
+        # targets (full_network=(not worker_only or
+        # workers_computes_advantages), ppo_nets.py:28) — the value tower
+        # is ~1/3 of the forward FLOPs, skipped on every rollout tick.
+        # Param names align: the tower is the last-defined module, so the
+        # shared trunk's flax paths are identical and the full param dict
+        # applies to the partial net (extra entries unused).
+        wca = cfg.ppo.workers_computes_advantages
+        self.worker_net = self.net if wca else PPONet(
+            cfg.model, full_network=False)
+        self.rollout = make_rollout_fn(self.env, self.worker_net, cfg.horizon)
         self.init_opt, self.update = make_ppo_update(
             cfg.env.engine, self.net, cfg.ppo)
         self._proc = jax.jit(
             lambda seg, v_last: segment_to_batch(cfg.ppo, seg, v_last))
 
-        # The whole iteration — rollout segment, GAE, PPO epochs — as ONE
-        # jitted program: one dispatch per iteration instead of three (the
-        # axon tunnel costs ~30 ms fixed latency per dispatch; at 512 envs
-        # that was ~25% of the iteration).
+        # The whole iteration — rollout segment, worker/trainer target
+        # processing, PPO epochs — as ONE jitted program: one dispatch per
+        # iteration instead of three (the axon tunnel costs ~30 ms fixed
+        # latency per dispatch; at 512 envs that was ~25% of the iteration).
         def _fused(state, env_state, key):
             kroll, kupd = jax.random.split(key)
             env_state, seg, v_last = self.rollout(
                 state.params, env_state, kroll)
-            batch, gae_stats = segment_to_batch(cfg.ppo, seg, v_last)
+            if wca:
+                batch, gae_stats = segment_to_batch(cfg.ppo, seg, v_last)
+            else:
+                batch, gae_stats = segment_to_windows(cfg.ppo, seg), {}
             state, stats = self.update(state, batch, kupd)
             stats.update(gae_stats)
             return state, env_state, stats
         self._fused_step = jax.jit(_fused)
+
+        # pool-opponent machinery (lazy: only when configured)
+        self._pool = []
+        self._iter = 0
+        if cfg.pool_prob > 0:
+            import collections
+            import numpy as np
+            from drl_tetris_tpu.algos.ppo import pool_segment_to_batch
+            from drl_tetris_tpu.algos.rollout import make_pool_rollout_fn
+            assert cfg.ppo.workers_computes_advantages, \
+                "pool training uses worker-side GAE"
+            self._pool = collections.deque(maxlen=cfg.pool_size)
+            self._host_rng = np.random.RandomState(cfg.seed + 7)
+            pool_rollout = make_pool_rollout_fn(
+                self.env, self.worker_net, cfg.horizon)
+
+            def _fused_pool(state, env_state, key, opp_params, learner_first):
+                kroll, kupd = jax.random.split(key)
+                env_state, seg, v_last = pool_rollout(
+                    state.params, opp_params, env_state, kroll,
+                    learner_first=learner_first)
+                batch, gae_stats = pool_segment_to_batch(
+                    cfg.ppo, seg, v_last,
+                    learner_parity=0 if learner_first else 1)
+                state, stats = self.update(state, batch, kupd)
+                stats.update(gae_stats)
+                return state, env_state, stats
+            self._fused_pool = jax.jit(
+                _fused_pool, static_argnames=("learner_first",))
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, kinit, kenv = jax.random.split(key, 3)
@@ -91,10 +146,26 @@ class StandaloneTrainer:
 
     def train_iteration(self):
         """One worker segment + one PPO update (trainer.py:71-75 semantics)."""
+        cfg = self.cfg
+        if cfg.lr_schedule is not None:
+            from drl_tetris_tpu.algos.ppo import set_learning_rate
+            self.state = set_learning_rate(
+                self.state, param_eval(cfg.lr_schedule, self.total_steps))
         self.key, kstep = jax.random.split(self.key)
-        self.state, self.env_state, stats = self._fused_step(
-            self.state, self.env_state, kstep)
-        self.total_steps += self.cfg.n_envs * self.cfg.horizon
+        use_pool = (len(self._pool) > 0
+                    and self._host_rng.rand() < cfg.pool_prob)
+        if use_pool:
+            opp = self._pool[self._host_rng.randint(len(self._pool))]
+            self.state, self.env_state, stats = self._fused_pool(
+                self.state, self.env_state, kstep, opp,
+                learner_first=bool(self._iter % 2 == 0))
+        else:
+            self.state, self.env_state, stats = self._fused_step(
+                self.state, self.env_state, kstep)
+        self._iter += 1
+        if cfg.pool_every and self._iter % cfg.pool_every == 0:
+            self._pool.append(jax.tree.map(jnp.asarray, self.state.params))
+        self.total_steps += cfg.n_envs * cfg.horizon
         self.stats = fetch_stats(stats)
         return self.stats
 

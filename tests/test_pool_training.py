@@ -1,0 +1,82 @@
+"""League-pool opponent training + scheduled learning rate
+(VERDICT r2 item 3 machinery)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drl_tetris_tpu.algos.ppo import PPOConfig, set_learning_rate
+from drl_tetris_tpu.config.parameter import LinearParameter
+from drl_tetris_tpu.models.nets import ModelConfig
+from drl_tetris_tpu.runtime.standalone import StandaloneConfig, StandaloneTrainer
+
+
+def _tiny():
+    return ModelConfig(compute_dtype="float32", tower_layers=1,
+                       tower_filters=4, val_layers=1, val_filters=4)
+
+
+def test_lr_schedule_threads_into_optimizer():
+    sched = LinearParameter(1e-3, final_val=1e-5, time_horizon=1000)
+    cfg = StandaloneConfig(model=_tiny(),
+                           ppo=PPOConfig(minibatch_size=8, n_train_epochs=1),
+                           n_envs=2, horizon=8, lr_schedule=sched)
+    tr = StandaloneTrainer(cfg)
+    tr.train_iteration()
+    lr0 = float(tr.state.opt_state.hyperparams["learning_rate"])
+    # t=0 evaluation happened before the first update
+    assert np.isclose(lr0, 1e-3, rtol=1e-5)
+    # fast-forward the step counter; next iteration re-evaluates
+    tr.total_steps = 1000
+    tr.train_iteration()
+    lr1 = float(tr.state.opt_state.hyperparams["learning_rate"])
+    assert np.isclose(lr1, 1e-5, rtol=1e-4), lr1
+
+
+def test_pool_opponent_training_runs_and_trains():
+    cfg = StandaloneConfig(
+        model=_tiny(),
+        ppo=PPOConfig(minibatch_size=8, n_train_epochs=1, lr=1e-3),
+        n_envs=4, horizon=8, seed=1,
+        pool_prob=1.0, pool_size=2, pool_every=1)
+    tr = StandaloneTrainer(cfg)
+    # iteration 1: pool empty -> plain self-play; snapshot taken after
+    tr.train_iteration()
+    assert len(tr._pool) == 1
+    p1 = jax.tree.map(np.asarray, tr.state.params)
+    # iteration 2: plays against the snapshot (pool_prob=1)
+    stats = tr.train_iteration()
+    assert np.isfinite(stats["losses/total_loss"])
+    p2 = jax.tree.map(np.asarray, tr.state.params)
+    moved = any(not np.array_equal(a, b) for a, b in zip(
+        jax.tree.leaves(p1), jax.tree.leaves(p2)))
+    assert moved
+    assert len(tr._pool) == 2
+    # a few more iterations alternate learner seat without error
+    for _ in range(2):
+        tr.train_iteration()
+
+
+def test_pool_rollout_learner_values_and_parity():
+    """In a pool rollout the recorded values are the learner's at every
+    tick, and slicing by parity yields the learner's decisions."""
+    from drl_tetris_tpu.algos.rollout import (
+        make_pool_rollout_fn, make_rollout_fn)
+    from drl_tetris_tpu.env.env import EnvConfig, TetrisVectorEnv
+    from drl_tetris_tpu.models.nets import PPONet
+
+    env = TetrisVectorEnv(EnvConfig(), 3)
+    net = PPONet(_tiny(), full_network=True)
+    k = jax.random.PRNGKey(0)
+    params = net.init(k, [jnp.zeros((1, 12))] * 2,
+                      [jnp.zeros((1, 22, 10, 1))] * 2)
+    st = env.reset(jax.random.PRNGKey(1))
+    roll = make_pool_rollout_fn(env, net, 6)
+    # opponent == learner params: must equal the plain self-play rollout
+    plain = make_rollout_fn(env, net, 6)
+    st_a, seg_a, v_a = roll(params, params, st, k, learner_first=True)
+    st_b, seg_b, v_b = plain(params, st, k)
+    for la, lb in zip(jax.tree.leaves(seg_a), jax.tree.leaves(seg_b)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+    assert np.allclose(np.asarray(v_a), np.asarray(v_b))
