@@ -60,12 +60,60 @@ def _headline(stats):
 
 
 def cmd_train(args):
+    if getattr(args, "platform", ""):
+        _force_platform(args.platform)
+    if getattr(args, "multihost", False):
+        # DCN scale-out: every host runs this same command; JAX wires the
+        # global device mesh (SURVEY.md 2.5).  MUST run before anything
+        # initializes the XLA backend — config resolution below builds
+        # device constants.
+        import jax
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id)
+        args.distributed = True
+    if getattr(args, "experiment", None):
+        # batch runs from the experiment schedule: presets + cumulative
+        # patches -> one run per patch with distinct run-ids
+        # (tools/experiment_schedule.py:3-40, trainer_runscript.py:19-23)
+        from drl_tetris_tpu.config.schedule import (
+            EXPERIMENTS, experiment_schedule)
+        exps = []
+        for name in args.experiment:
+            if name not in EXPERIMENTS:
+                raise SystemExit(
+                    f"unknown experiment {name!r}; "
+                    f"known: {sorted(EXPERIMENTS)}")
+            exps.append(EXPERIMENTS[name])
+        for cfg in experiment_schedule(exps, only_last=args.only_last,
+                                       overrides=_parse_overrides(args.set)):
+            print(f"=== experiment run: {cfg.run_id} ===", flush=True)
+            _train_one(cfg, args)
+        return
+    _train_one(_load_cfg(args), args)
+
+
+def _make_shaper(cfg):
+    """Settings-driven reward shaper ("reward_shaper" +
+    "reward_shaper_param", the reference's commented recipe,
+    experiments/sventon_base.py:61-62).  The amount is evaluated at t=0
+    (a static closure constant inside the jitted segment processing)."""
+    name = cfg.settings.get("reward_shaper")
+    if not name or name == "none":
+        return None
+    from drl_tetris_tpu.algos.reward_shapers import make_shaper
+    from drl_tetris_tpu.config.parameter import param_eval
+    amount = float(param_eval(cfg.settings.get("reward_shaper_param", 0.0)))
+    return make_shaper(name, amount, cfg.ppo.single_policy)
+
+
+def _train_one(cfg, args):
     import jax
     from drl_tetris_tpu.utils.metrics import (MetricsWriter, fetch_stats,
                                                timekeeper)
     from drl_tetris_tpu.runtime import checkpoint as ckpt
 
-    cfg = _load_cfg(args)
     ckpt_dir = os.path.join(args.data_dir, "models", cfg.run_id)
     metrics_dir = os.path.join(args.data_dir, "summaries")
 
@@ -97,15 +145,6 @@ def cmd_train(args):
             print(f"[league] step {total:,}: elo={latest:.1f}  "
                   + " ".join(f"{k}={v:.0f}" for k, v in
                              sorted(ratings.items())), flush=True)
-
-    if args.multihost:
-        # DCN scale-out: every host runs this same command; JAX wires the
-        # global device mesh (SURVEY.md 2.5 'multi-host via jax.distributed').
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator,
-            num_processes=args.num_hosts,
-            process_id=args.host_id)
-        args.distributed = True
 
     if args.distributed:
         from drl_tetris_tpu.parallel.mesh import (
@@ -202,7 +241,15 @@ def cmd_train(args):
         scfg = StandaloneConfig(
             env=cfg.env, model=cfg.model, ppo=cfg.ppo,
             n_envs=args.n_envs or cfg.n_envs, horizon=args.horizon,
-            seed=args.seed)
+            seed=args.seed,
+            # raw (possibly scheduled) value_lr: re-evaluated per iteration
+            # through inject_hyperparams (ppo.set_learning_rate)
+            lr_schedule=cfg.settings.get("value_lr"),
+            # league-pool opponent training knobs (settings-driven)
+            pool_prob=float(cfg.settings.get("pool_prob", 0.0)),
+            pool_size=int(cfg.settings.get("pool_size", 4)),
+            pool_every=int(cfg.settings.get("pool_every", 0)),
+            reward_shaper=_make_shaper(cfg))
         tr = StandaloneTrainer(scfg)
 
     steps_per_iter = scfg.n_envs * scfg.horizon
@@ -402,7 +449,8 @@ def cmd_worker(args):
     ts = TrainingState(cfg.run_id,
                        kv=KVClient(host=args.host, port=args.port))
     print(f"claimed slot {ts.me} on {args.host}:{args.port}", flush=True)
-    runner = WorkerRunner(_standalone_cfg(args, cfg), ts)
+    runner = WorkerRunner(_standalone_cfg(args, cfg), ts,
+                          flavour=cfg.flavour, fw=cfg)
     runner.run(max_steps=args.steps or None,
                logger=lambda m: print(m, flush=True))
 
@@ -421,7 +469,8 @@ def cmd_trainer(args):
     runner = TrainerRunner(
         _standalone_cfg(args, cfg), ts,
         min_samples=cfg.settings.get("n_samples_each_update", 2048),
-        ckpt_dir=ckpt_dir, settings=cfg.settings)
+        ckpt_dir=ckpt_dir, settings=cfg.settings,
+        flavour=cfg.flavour, fw=cfg)
     print(f"trainer up on {args.host}:{args.port}; "
           f"checkpoints -> {ckpt_dir}", flush=True)
     runner.run(max_updates=args.updates or None,
@@ -517,6 +566,16 @@ def main(argv=None):
     t = sub.add_parser("train", help="self-play training")
     _add_common(t)
     t.add_argument("--steps", type=int, default=10_000_000)
+    t.add_argument("--platform", default="",
+                   help="force a jax platform for this run (cpu/tpu); "
+                        "empty = leave the environment's choice")
+    t.add_argument("--experiment", nargs="*", default=[],
+                   help="named experiment(s) from config/schedule.py: one "
+                        "run per cumulative patch (trainer_runscript.py "
+                        "--experiment analog)")
+    t.add_argument("--only-last", action="store_true",
+                   help="run only the last patch of the schedule "
+                        "(experiment_schedule only_last)")
     t.add_argument("--n-envs", type=int, default=0)
     t.add_argument("--horizon", type=int, default=72)
     t.add_argument("--seed", type=int, default=0)

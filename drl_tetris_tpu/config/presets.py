@@ -162,6 +162,35 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "sparse_value_estimate_filter": (2, 3),
         "train_distribution": "pareto_distribution",
     },
+    # The r3 long-run recipe (LEARNING_r03): fixes the r2 late-run
+    # regression — Elo fell 2813 -> 2526 after 7.9M steps and the 10M
+    # checkpoint lost 54/64 to the 6M demo (LEARNING_r02.json).  Three
+    # levers: (1) lr decay instead of a constant hot lr (scheduled
+    # parameter, presets.py:49 precedent), (2) an entropy floor that only
+    # pushes back when the policy collapses below ~epsilon-noise entropy
+    # (ppo_nets.py:178-183 terms), (3) league-pool opponents so self-play
+    # stops chasing only its current self (cycling).  Minibatch 512 is the
+    # TPU batch geometry (same algorithm; see bench.py roofline note).
+    # Recipe history (measured, NOTES_ROUND3.md): variant A
+    # (entropy_loss 0.01, pool_prob 0.35) kept entropy pinned at ~3.0 for
+    # 8M steps — the policy never sharpened and lost 0-64 to the r2 6M
+    # demo despite a monotone league curve.  The shipped variant keeps the
+    # anti-cycling levers but makes the entropy term FLOOR-ONLY: the raw
+    # bonus coefficient is negligible (the reference ships entropy_loss 0,
+    # sventon_ppo.py) and the floor term (entropy_floor_loss * -relu(floor
+    # - H), ppo_nets.py:178-183) only pushes back when entropy collapses
+    # below ~eps-noise level (~0.43 at ppo_epsilon 0.05).
+    "r3_learning": {
+        "value_lr": LinearParameter(1e-4, final_val=3e-5,
+                                    time_horizon=10_000_000),
+        "entropy_loss": 0.001,
+        "entropy_floor_loss": 100.0,
+        "ppo_epsilon": 0.05,
+        "minibatch_size": 512,
+        "pool_prob": 0.2,
+        "pool_size": 4,
+        "pool_every": 40,
+    },
 }
 
 

@@ -42,3 +42,34 @@ def experiment_schedule(experiments: Sequence[Experiment],
     if only_last and items:
         items = items[-1:]
     yield from items
+
+
+# ---------------------------------------------------------------------------
+# Named experiments (the CLI's `train --experiment NAME` registry) — the
+# analog of the reference's experiment FILES (experiments/sventon_ppo.py etc.,
+# exec'd by experiment_schedule.py:22-31 and looped by
+# trainer_runscript.py:19-23).  Patches are applied cumulatively after the
+# null patch; the reference ships its patch lists empty/commented, so these
+# default to () and are overridden per sweep (see `lr_sweep` for the shape).
+# ---------------------------------------------------------------------------
+
+EXPERIMENTS: Dict[str, Experiment] = {
+    "sventon_ppo": Experiment(
+        name="sventon_ppo",
+        presets=("default", "sventon", "sventon_ppo", "resblock",
+                 "experiment_sventon_ppo")),
+    "sventon_dqn": Experiment(
+        name="sventon_dqn",
+        presets=("default", "sventon", "sventon_dqn", "resblock",
+                 "experiment_sventon_dqn")),
+    "sixten": Experiment(
+        name="sixten", presets=("default", "experiment_sixten")),
+    "sherlock": Experiment(
+        name="sherlock", presets=("default", "sherlock")),
+    # demo sweep: null patch + two cumulative lr patches -> 3 runs
+    "lr_sweep": Experiment(
+        name="lr_sweep",
+        presets=("default", "sventon", "sventon_ppo", "resblock",
+                 "experiment_sventon_ppo"),
+        patches=({"value_lr": 1e-4}, {"value_lr": 1e-5})),
+}

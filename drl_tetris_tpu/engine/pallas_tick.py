@@ -1,11 +1,21 @@
 """Pallas whole-rollout engine kernel: T ticks with state resident in VMEM.
 
-The XLA tick (env.step under lax.scan) is VPU-bound at ~10% lane
-efficiency; a large share of the per-tick cost is the loop-carried
-EngineState pytree round-tripping through HBM at every scan iteration plus
-the fragmentation of the tick into many small fused kernels.  This module
-runs the SAME per-game tick code (engine/step.py — shared, not duplicated)
-inside one ``pl.pallas_call``:
+r3 MEASURED VERDICT (docs/NOTES_ROUND3.md): this kernel now compiles and
+runs bit-exactly on real v5e hardware, but at ~391k env-steps/s
+(1024 games, block_games=128) it is ~60x SLOWER than the XLA scan — the
+r1 hypothesis that the scan was bound by the loop-carried state
+round-tripping through HBM is refuted (state traffic is ~2% of HBM
+bandwidth at the XLA path's rate; the tick is VPU-compute-bound, and
+XLA's fusion already handles it well).  Mosaic additionally cannot build
+blocks wider than 128 games here (the capped compile helper dies), which
+wastes 8x sublane packing on rank-1 state, and its i1/layout constraints
+force costlier op forms than XLA's (see engine/shifts.py, step._sel).
+The kernel is retained as a hardware-validated correctness gate and a
+worked example of the games-in-lanes layout; the XLA scan is the
+production engine path.
+
+This module runs the SAME per-game tick code (engine/step.py — shared,
+not duplicated) inside one ``pl.pallas_call``:
 
   * grid over blocks of games (games are independent; blocks pipeline),
   * every state leaf lives in VMEM for the whole T-tick ``fori_loop``,
@@ -148,6 +158,13 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
     # games-minor layout + bool->int32 (Mosaic can't store i1 vectors)
     ins = [jnp.moveaxis(l.astype(jnp.int32) if b else l, 0, -1)
            for l, b in zip(leaves, bool_dtypes)]
+    # Rank-1 (N,) leaves transfer as (1, N): with block_games < N, a
+    # rank-1 operand's XLA layout tiles the FULL length while Mosaic
+    # expects block-sized tiling ("XLA layout {0:T(1024)} does not match
+    # Mosaic layout {0:T(128)}"); rank-2 blocks avoid the mismatch.  The
+    # kernel strips/restores the leading singleton at the ref boundary.
+    promoted = [x.ndim == 1 for x in ins]
+    ins = [x[None, :] if p else x for x, p in zip(ins, promoted)]
 
     def leaf_spec(x):
         blk = x.shape[:-1] + (block_games,)
@@ -203,7 +220,8 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
             return [v.astype(jnp.int32) if b else v
                     for v, b in zip(out, bool_dtypes)]
 
-        carry0 = [r[...] for r in in_refs]
+        carry0 = [r[...][0] if p else r[...]
+                  for r, p in zip(in_refs, promoted)]
         blk_id = pl.program_id(0).astype(jnp.uint32)
 
         def body(tick, carry):
@@ -228,8 +246,8 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
 
         out_vals = jax.lax.fori_loop(
             0, n_ticks, lambda i, c: body(i, c), carry0)
-        for o, v in zip(o_refs, out_vals):
-            o[...] = v
+        for o, v, p in zip(o_refs, out_vals, promoted):
+            o[...] = v[None, :] if p else v
 
     # mxu_shifts: the engine's static H/CAP-axis shifts trace as constant
     # f32 matmuls instead of sliced-operand concats (engine/shifts.py —
@@ -243,9 +261,15 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
             out_shape=out_shapes,
             out_specs=out_specs,
             interpret=interpret,
+            # the full state pipeline (45 in + 45 out blocks, double
+            # buffered) plus matmul-shift temporaries exceeds the default
+            # 16M scoped-vmem budget; the v5e has 128M VMEM per core
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             debug=bool(int(os.environ.get("PALLAS_TICK_DEBUG", "0"))),
         )(*ins, *extra_ins)
 
+    outs = [o[0] if p else o for o, p in zip(outs, promoted)]
     outs = [jnp.moveaxis(o, -1, 0) for o in outs]
     outs = [o.astype(jnp.bool_) if b else o for o, b in zip(outs, bool_dtypes)]
     return jax.tree_util.tree_unflatten(treedef, outs)
@@ -254,7 +278,7 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
 def rollout_pallas(env_cfg: EnvConfig, state: EnvState, n_ticks: int, *,
                    base_key: Optional[jnp.ndarray] = None,
                    actions: Optional[tuple] = None,
-                   block_games: int = 1024,
+                   block_games: int = 128,
                    interpret: bool = False) -> EnvState:
     """Advance every game ``n_ticks`` macro-ticks inside one Pallas kernel.
 

@@ -87,11 +87,22 @@ def _sel(pred, a, b):
         if jnp.issubdtype(dt, jnp.integer):
             mask = jnp.asarray(-p, dt)      # 0 or all-ones, any int width
             return b ^ ((a ^ b) & mask)
-        # float: exact for finite values when p is exactly 0/1 (a*1 = a,
-        # b*0 = +/-0, a + 0 = a); -0.0 may normalize to +0.0, which every
-        # downstream comparison treats identically
-        pf = p.astype(dt)
-        return a * pf + b * (jnp.asarray(1, dt) - pf)
+        # float32: blend the BIT PATTERNS through an int32 view — exact by
+        # construction (an arithmetic a*p + b*(1-p) lerp drifted cogp in
+        # the equivalence test).  Mosaic's bitcast is vector-only, so
+        # rank-0 results use the plain scalar select (scalars live in
+        # sregs; the i1 lowering gaps are vector-only).
+        assert dt == jnp.float32, dt
+        shape = jnp.broadcast_shapes(jnp.shape(pred), jnp.shape(a),
+                                     jnp.shape(b))
+        if shape == ():
+            return jnp.where(pred, a, b)
+        af = jnp.broadcast_to(jnp.asarray(a, dt), shape)
+        bf = jnp.broadcast_to(jnp.asarray(b, dt), shape)
+        ai = jax.lax.bitcast_convert_type(af, jnp.int32)
+        bi = jax.lax.bitcast_convert_type(bf, jnp.int32)
+        out = bi ^ ((ai ^ bi) & jnp.broadcast_to(-p, shape))
+        return jax.lax.bitcast_convert_type(out, dt)
     if jnp.result_type(a) == jnp.bool_:
         return jnp.where(pred, jnp.asarray(a, jnp.int32),
                          jnp.asarray(b, jnp.int32)) != 0

@@ -303,6 +303,51 @@ class TetrisVectorEnv:
             rounds_played=state.rounds_played + done.astype(jnp.int32),
         ), reward, done
 
+    def step_mixed_place_pose(self, state: EnvState, use_pose, rotations,
+                              t_or_c, y
+                              ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+        """Per-game dispatch between pose-lock actions and column-targeted
+        placements — the remaining eval pairing (a full-action-space
+        world-model agent vs a top-drop world-model agent; r2 VERDICT item
+        9 removed the NotImplementedError here)."""
+        cfg = self.cfg
+        eng = state.engine
+        N = self.n_games
+        player = state.current_player
+        ps = eng.players
+        take = lambda a: jnp.take_along_axis(a, player[:, None], axis=1)[:, 0]
+        n_sym = jnp.asarray(N_SYM_ROT)[take(ps.piece)]
+        rot_exec = jnp.where(n_sym == 1, take(ps.rot), rotations)
+        use = jnp.arange(2)[None, :] == player[:, None]
+        r2r = jnp.where(use, rotations[:, None], 0)      # place: relative r
+        r2p = jnp.where(use, rot_exec[:, None], 0)       # pose: enumerated r
+        a2 = jnp.where(use, t_or_c[:, None], 0)
+        y2 = jnp.where(use, y[:, None], 0)
+        dt = jnp.int32(cfg.time_elapsed_each_action)
+
+        def one(e, u, rrr, rrp, aa, yy, pose):
+            m1 = S.make_phase_place(cfg.engine, e, u, rrr, aa)
+            m2 = S.make_phase_pose(cfg.engine, e, u, rrp, aa, yy)
+            m = jax.tree.map(lambda a, b: jnp.where(pose, b, a), m1, m2)
+            new = S.finish_phase(cfg.engine, m, dt, None)
+            return jax.tree.map(
+                lambda a, b: S._sel(e.round_over, a, b), e, new)
+
+        eng = jax.vmap(one)(eng, use, r2r, r2p, a2, y2, use_pose)
+        done = eng.round_over
+        reward = _reward(cfg, eng, player, done)
+        both = jax.vmap(lambda k: jax.random.split(k))(state.key)
+        key, reset_keys = both[:, 0], both[:, 1]
+        eng_reset = jax.vmap(lambda e, k: S.reset(cfg.engine, e, k))(eng, reset_keys)
+        eng = jax.tree.map(
+            lambda a, b: jnp.where(
+                done.reshape((N,) + (1,) * (a.ndim - 1)), b, a),
+            eng, eng_reset)
+        return EnvState(
+            engine=eng, current_player=1 - player, key=key,
+            rounds_played=state.rounds_played + done.astype(jnp.int32),
+        ), reward, done
+
     # -- observation -------------------------------------------------------
     @partial(jax.jit, static_argnums=(0, 3))
     def observe(self, state: EnvState, player=None, mirrored=False) -> Obs:

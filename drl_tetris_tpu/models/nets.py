@@ -224,10 +224,10 @@ class ModelConfig:
 
     compute_dtype: activation/conv compute precision.  'bfloat16' (the
     default) runs the towers on the MXU at full rate with float32 params
-    and float32 heads (policy softmax / value tanh stay f32) — measured
-    1.6x faster per sample with a learning curve inside seed variance of
-    f32 (entropy 3.68 -> ~0.6 over 1.2M steps in both); set 'float32' for
-    bit-stable comparisons."""
+    and float32 heads (policy softmax / value tanh stay f32) — ~1.6x
+    faster per sample (round-1 bench); the learning-curve A/B backing the
+    default is recorded in docs/NOTES_ROUND3.md ("bf16 A/B").  Set
+    'float32' for bit-stable comparisons."""
     compute_dtype: str = "bfloat16"
     architecture: str = "silver"     # one of ARCHITECTURES (network.py:25-32)
     n_rotations: int = 4

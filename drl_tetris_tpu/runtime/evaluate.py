@@ -71,10 +71,9 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
           kind1 in ("world_model", "sherlock"))
     fp = (kind0 in ("world_model_full", "sherlock_full"),
           kind1 in ("world_model_full", "sherlock_full"))
-    if any(fp) and any(wm):
-        raise NotImplementedError(
-            "full-action-space vs top-drop world-model cross-matches are not "
-            "supported; evaluate both agents with the same action space")
+    # every pairing of {macro, top-drop placement, full pose} dispatches
+    # per game below; the pose-vs-place combo goes through
+    # env.step_mixed_place_pose (r2 VERDICT item 9)
 
     @jax.jit
     def tick(params0, params1, st, key):
@@ -94,6 +93,9 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
         y = jnp.where(mine, y0, y1)
         if all(fp):
             return env.step_pose(st, r, t, y)
+        if any(fp) and any(wm):
+            use_pose = jnp.where(mine, fp[0], fp[1])
+            return env.step_mixed_place_pose(st, use_pose, r, t, y)
         if any(fp):
             use_pose = jnp.where(mine, fp[0], fp[1])
             return env.step_mixed_pose(st, use_pose, r, t, y)

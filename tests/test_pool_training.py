@@ -80,3 +80,16 @@ def test_pool_rollout_learner_values_and_parity():
     for la, lb in zip(jax.tree.leaves(seg_a), jax.tree.leaves(seg_b)):
         assert np.array_equal(np.asarray(la), np.asarray(lb))
     assert np.allclose(np.asarray(v_a), np.asarray(v_b))
+
+
+def test_traj_len_ema_device_matches_host():
+    import numpy as np
+    from drl_tetris_tpu.runtime.standalone import (
+        _traj_len_ema, _traj_len_ema_host)
+    r = np.random.RandomState(0)
+    done = r.rand(13, 7) < 0.3
+    ep0 = r.randint(0, 9, 7)
+    e_d, a_d = _traj_len_ema(done, ep0, 12.0, 0.01)
+    e_h, a_h = _traj_len_ema_host(done, ep0.copy(), 12.0, 0.01)
+    assert np.array_equal(np.asarray(e_d), e_h)
+    assert np.isclose(float(a_d), a_h, rtol=1e-6)
