@@ -147,7 +147,10 @@ def main():
             pallas_err = str(e).split("\n")[0][:300]
             print(f"pallas bench FAILED (pallas_ok=false): {e}",
                   file=sys.stderr)
-    steps_per_s = max(s for s in (xla_sps, pallas_sps) if s is not None)
+    # Guard: with --pallas (XLA bench skipped) a Pallas failure leaves both
+    # None; still emit the JSON (with pallas_ok=false) instead of crashing.
+    ok_sps = [s for s in (xla_sps, pallas_sps) if s is not None]
+    steps_per_s = max(ok_sps) if ok_sps else 0.0
     baseline = 5_000_000.0
 
     # Secondary metric: NN-in-the-loop training throughput (standalone

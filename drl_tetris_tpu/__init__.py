@@ -1,17 +1,48 @@
 """drl-tetris-tpu: a TPU-native rebuild of DRL-Tetris (see SURVEY.md).
 
 Importing the package points JAX at a persistent XLA compilation cache
-(~/.cache/drl_tetris_tpu_xla by default) so that separate processes —
-trainer, league evals, bench, tests — reuse each other's compiles instead
-of re-paying the multi-minute engine/finesse compilation.  The env var is
-set with `setdefault` so users/CI can redirect or disable it
+(~/.cache/drl_tetris_tpu_xla/<machine-key> by default) so that separate
+processes — trainer, league evals, bench, tests — reuse each other's
+compiles instead of re-paying the multi-minute engine/finesse compilation.
+The env var is set with `setdefault` so users/CI can redirect or disable it
 (JAX_COMPILATION_CACHE_DIR="" disables).
+
+The cache directory is keyed by a fingerprint of this machine's CPU model
+and feature flags: XLA:CPU serializes AOT executables specialized to the
+compiling host's CPU features, and loading such an executable on a host
+with a different feature set can SIGILL/segfault (XLA warns
+"Machine type used for XLA:CPU compilation doesn't match the machine type
+for execution", cpu_aot_loader).  A per-machine-type subdirectory makes
+cross-machine reuse structurally impossible while keeping same-machine
+reuse (the case that matters) intact.
 """
+import hashlib
 import os
+import platform
+
+
+def _machine_key() -> str:
+    """12-hex fingerprint of (arch, CPU model, CPU flags)."""
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            seen = set()
+            for line in f:
+                k = line.split(":")[0].strip()
+                if k in ("model name", "flags") and k not in seen:
+                    seen.add(k)
+                    bits.append(line.strip())
+                    if len(seen) == 2:
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1("\n".join(bits).encode()).hexdigest()[:12]
+
 
 _CACHE_DIR = os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "drl_tetris_tpu_xla"))
+    os.path.join(os.path.expanduser("~"), ".cache", "drl_tetris_tpu_xla",
+                 _machine_key()))
 
 
 def enable_compilation_cache():

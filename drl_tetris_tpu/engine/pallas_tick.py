@@ -252,7 +252,9 @@ def _rollout(env_cfg: EnvConfig, state: EnvState, n_ticks: int,
     # mxu_shifts: the engine's static H/CAP-axis shifts trace as constant
     # f32 matmuls instead of sliced-operand concats (engine/shifts.py —
     # Mosaic rejects tpu.concatenate with mismatched non-concat-dim
-    # layout offsets, the BENCH_r02 hardware failure).
+    # layout offsets, the BENCH_r02 hardware failure).  Rows must stay
+    # within the f32-exact integer range for the matmul lowering.
+    shifts.require_f32_exact(env_cfg.engine)
     with shifts.mxu_shifts():
         outs = pl.pallas_call(
             kernel,

@@ -25,7 +25,8 @@ hottest per-tick ops move off the VPU onto the idle MXU.  Exactness: all
 shifted values are small integers (board rows < 2^width, timers in ms,
 row counts), far below the 2^24 float32-exact integer range; the matmul
 accumulates at most L <= 64 terms of which exactly one is nonzero per
-output row.  `_require_f32_exact` guards the assumption.
+output row.  `require_f32_exact(cfg)` guards the assumption — the Pallas
+kernel builder calls it before tracing and rejects widths > 24.
 
 Mode selection is a module flag set by pallas_tick around the kernel
 trace (`with mxu_shifts(): pl.pallas_call(...)`): tracing is synchronous,
@@ -45,6 +46,18 @@ _MXU_MODE = False
 # through these helpers in the engine is a bitboard row (< 2^width),
 # a millisecond timer, or a small count; width <= 24 keeps rows exact.
 _F32_EXACT = 1 << 24
+
+
+def require_f32_exact(cfg) -> None:
+    """Reject engine configs whose bitboard rows can exceed the f32-exact
+    integer range (2^24).  EngineConfig allows width up to 25; the matmul
+    lowering would silently round a full 25-wide row, so the Pallas path
+    refuses it up front rather than corrupting state."""
+    if (1 << cfg.width) - 1 >= _F32_EXACT:
+        raise ValueError(
+            f"mxu_shifts f32 matmul lowering requires width <= 24 "
+            f"(rows < 2^24 stay float32-exact); got width={cfg.width}. "
+            f"Use the XLA engine path for wider boards.")
 
 
 @contextlib.contextmanager

@@ -53,8 +53,17 @@ def make_worker_parts(cfg: StandaloneConfig, env, flavour: str = "ppo",
         roll = make_rollout_fn(env, net, cfg.horizon)
         proc = jax.jit(lambda seg, v_last: segment_to_batch(
             cfg.ppo, seg, v_last))
-        return net, roll, lambda seg, v: {"batch": jax.device_get(
-            proc(seg, v))}
+
+        def _ship(seg, v):
+            # segment_to_batch returns (Batch, gae_stats); ship ONLY the
+            # batch as packet["batch"] (the trainer core re-wraps it via
+            # Batch(**batch._asdict()), runner._OnPolicyCore.add) and the
+            # per-segment GAE stats alongside (trainer.py:83-105 logs the
+            # worker-side stats it receives).
+            b, gae_stats = proc(seg, v)
+            return {"batch": jax.device_get(b),
+                    "stats": {k: float(x) for k, x in gae_stats.items()}}
+        return net, roll, _ship
     if flavour == "dqn":
         from drl_tetris_tpu.config.parameter import param_eval
         net = QNet(cfg.model, full_network=True)

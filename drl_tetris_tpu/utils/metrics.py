@@ -124,28 +124,6 @@ class Timekeeper:
 timekeeper = Timekeeper
 
 
-def logstamp(log_fn=print, on_exit: bool = False, only_new: bool = False):
-    """drl_tetris/utils/logging.py:7-25: decorator logging entry/exit and
-    changed return values."""
-    def deco(fn):
-        last = {"ret": object()}
-
-        @wraps(fn)
-        def wrapper(*args, **kwargs):
-            if not on_exit:
-                log_fn(f"-> {fn.__qualname__}")
-            ret = fn(*args, **kwargs)
-            if only_new:
-                if ret != last["ret"]:
-                    log_fn(f"<- {fn.__qualname__} -> {ret!r}")
-                    last["ret"] = ret
-            elif on_exit:
-                log_fn(f"<- {fn.__qualname__}")
-            return ret
-        return wrapper
-    return deco
-
-
 class logstamp:
     """Entry/exit/changed-return logging decorator
     (drl_tetris/utils/logging.py:7-25).  `only_new` logs the exit stamp

@@ -57,10 +57,14 @@ def main():
     results = {}
 
     def duel(name, opp):
+        # hash() is salted per process (PYTHONHASHSEED); a sha1 digest keeps
+        # the gauntlet reproducible across invocations with a fixed --seed.
+        import hashlib
+        h = int(hashlib.sha1(name.encode()).hexdigest(), 16) % 1000
         w_a, w_b, und = play_match(env_cfg, (final, opp), n_games=half,
-                                   seed=args.seed + hash(name) % 1000)
+                                   seed=args.seed + h)
         w2_b, w2_a, und2 = play_match(env_cfg, (opp, final), n_games=half,
-                                      seed=args.seed + hash(name) % 1000 + 1)
+                                      seed=args.seed + h + 1)
         wins, losses = int(w_a + w2_a), int(w_b + w2_b)
         results[name] = {
             "final_wins": wins, "final_losses": losses,
