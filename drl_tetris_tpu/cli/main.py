@@ -135,8 +135,14 @@ def _train_one(cfg, args):
                     else "sherlock")
         else:
             kind = "macro"
+        anchors = []
+        for path in getattr(args, "league_anchor", None) or []:
+            agent, _ = _load_agent(path, cfg,
+                                   name=os.path.basename(path.rstrip("/")))
+            anchors.append(agent)
         return TrainingLeague(cfg.env, net, rnd, out_dir=ckpt_dir,
-                              games_per_pair=args.league_games, kind=kind)
+                              games_per_pair=args.league_games, kind=kind,
+                              fixed_anchors=anchors)
 
     def league_tick(league, it, params, total):
         if league is not None and it % args.league_every == 0:
@@ -443,14 +449,14 @@ def cmd_worker(args):
     worker-<i> slot, streams rollout segments to the store, polls weights."""
     _force_platform(args.platform)
     from drl_tetris_tpu.runtime.kv import KVClient
-    from drl_tetris_tpu.runtime.runner import WorkerRunner
+    from drl_tetris_tpu.runtime.runner import WorkerRunner, effective_flavour
     from drl_tetris_tpu.runtime.training_state import TrainingState
     cfg = _load_cfg(args)
     ts = TrainingState(cfg.run_id,
                        kv=KVClient(host=args.host, port=args.port))
     print(f"claimed slot {ts.me} on {args.host}:{args.port}", flush=True)
     runner = WorkerRunner(_standalone_cfg(args, cfg), ts,
-                          flavour=cfg.flavour, fw=cfg)
+                          flavour=effective_flavour(cfg), fw=cfg)
     runner.run(max_steps=args.steps or None,
                logger=lambda m: print(m, flush=True))
 
@@ -460,7 +466,7 @@ def cmd_trainer(args):
     experience queue, trains, publishes versioned weights."""
     _force_platform(args.platform)
     from drl_tetris_tpu.runtime.kv import KVClient
-    from drl_tetris_tpu.runtime.runner import TrainerRunner
+    from drl_tetris_tpu.runtime.runner import TrainerRunner, effective_flavour
     from drl_tetris_tpu.runtime.training_state import TrainingState
     cfg = _load_cfg(args)
     ts = TrainingState(cfg.run_id, role="trainer",
@@ -470,7 +476,7 @@ def cmd_trainer(args):
         _standalone_cfg(args, cfg), ts,
         min_samples=cfg.settings.get("n_samples_each_update", 2048),
         ckpt_dir=ckpt_dir, settings=cfg.settings,
-        flavour=cfg.flavour, fw=cfg)
+        flavour=effective_flavour(cfg), fw=cfg)
     print(f"trainer up on {args.host}:{args.port}; "
           f"checkpoints -> {ckpt_dir}", flush=True)
     runner.run(max_updates=args.updates or None,
@@ -586,6 +592,11 @@ def main(argv=None):
                         "against past snapshots + a random anchor and refit "
                         "Elo ratings (writes elo_history.jsonl)")
     t.add_argument("--league-games", type=int, default=16)
+    t.add_argument("--league-anchor", action="append", default=[],
+                   metavar="CHECKPOINT",
+                   help="external checkpoint(s) added to the league as "
+                        "permanent fixed entrants — makes Elo curves "
+                        "comparable across runs (repeatable)")
     t.add_argument("--distributed", action="store_true",
                    help="mesh actor-learner over all local devices")
     t.add_argument("--multihost", action="store_true",

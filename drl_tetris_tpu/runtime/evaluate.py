@@ -66,6 +66,34 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
 
     p0 = make_pol(net0, dist0, kind0, eps0)
     p1 = make_pol(net1, dist1, kind1, eps1)
+
+    def make_probe(net, kind):
+        """Eval-time NN visualization (scripts/eval.py:17-28): per-tick
+        policy entropy over the acting piece's (r, t) plane + its piece
+        value, for the rendered game.  Probability-map heads only (PPO pi);
+        value/Q agents return None and render boards without bars."""
+        if kind != "macro":
+            return None
+        from drl_tetris_tpu.algos.rollout import policy_inputs
+
+        @jax.jit
+        def probe(params, st):
+            obs = env.observe(st)
+            vec, vis = policy_inputs(obs)
+            out = net.apply(params, vec, vis)
+            if len(out) != 2:
+                return None
+            pi, v = out                        # (N, 4, W, 7), (N, 7)
+            piece = obs.piece[0, 0]
+            ppi = pi[0, :, :, piece]
+            p = ppi / jnp.maximum(ppi.sum(), 1e-8)
+            ent = -jnp.sum(p * jnp.log(p + 1e-8))
+            max_ent = jnp.log(jnp.float32(ppi.size))
+            v_p = v[0, piece] if v.shape[-1] > 1 else v[0, 0]
+            return ent, max_ent, v_p
+        return probe
+
+    probes = (make_probe(net0, kind0), make_probe(net1, kind1))
     # placement-action agents (step_place) vs exact-pose agents (step_pose)
     wm = (kind0 in ("world_model", "sherlock"),
           kind1 in ("world_model", "sherlock"))
@@ -116,17 +144,24 @@ def _match_fns(env_cfg: EnvConfig, n_games: int, net0, dist0, kind0, eps0,
         st, dones = jax.lax.scan(body, st, keys)
         return st, dones
 
-    return env, tick, ticks
+    return env, tick, ticks, probes
 
 
 def play_match(env_cfg: EnvConfig, agents: Tuple[EvalAgent, EvalAgent],
                n_games: int = 16, max_ticks: int = 2000, seed: int = 0,
-               render: bool = False) -> Tuple[int, int, int]:
+               render: bool = False, pygame: bool = False
+               ) -> Tuple[int, int, int]:
     """agents[0] sits as player 0 in every game.  Returns (wins0, wins1,
-    unfinished)."""
+    unfinished).  ``pygame=True`` additionally opens the window renderer
+    with pause-on-keypress (draw_tetris.py:103-143 semantics)."""
     sig = tuple(x for a in agents
                 for x in (a.net, a.distribution, a.kind, a.epsilon))
-    env, tick, ticks = _match_fns(env_cfg, n_games, *sig)
+    env, tick, ticks, probes = _match_fns(env_cfg, n_games, *sig)
+    pg_renderer = None
+    if pygame:
+        from drl_tetris_tpu.utils.render import get_pygame_renderer
+        pg_renderer = get_pygame_renderer()
+        render = True
     st = env.reset(jax.random.PRNGKey(seed))
     key = jax.random.PRNGKey(seed + 1)
     finished = np.zeros(n_games, bool)
@@ -148,9 +183,32 @@ def play_match(env_cfg: EnvConfig, agents: Tuple[EvalAgent, EvalAgent],
         winner[newly] = w[newly]
         finished |= d
         if render:
-            print("\x1b[2J\x1b[H" + render_ansi(env_cfg.engine, jax.tree.map(
+            frame = render_ansi(env_cfg.engine, jax.tree.map(
                 lambda a: a[:1], st.engine), max_games=1,
-                titles=[agents[0].name, agents[1].name]))
+                titles=[agents[0].name, agents[1].name])
+            # per-action NN visuals (scripts/eval.py:17-28): entropy bar
+            # over the acting piece's (r, t) plane + piece value, one line
+            # per probability-map agent, indented by seat like the
+            # reference's per-player columns
+            from drl_tetris_tpu.utils.render import progress_bar
+            lines = []
+            for seat, (agent, probe) in enumerate(zip(agents, probes)):
+                if probe is None:
+                    continue
+                res = probe(agent.params, st)
+                if res is None:
+                    continue
+                ent, max_ent, v_p = (float(x) for x in res)
+                lines.append(" " * (30 * seat)
+                             + progress_bar(ent, max_ent)
+                             + f" H={ent:.2f} v={v_p:+.3f} {agent.name}")
+            print("\x1b[2J\x1b[H" + frame
+                  + ("\n" + "\n".join(lines) if lines else ""))
+            if pg_renderer is not None:
+                from drl_tetris_tpu.utils.render import field_arrays
+                eng0 = jax.tree.map(lambda a: a[0], st.engine)
+                arr = field_arrays(env_cfg.engine, eng0)   # (1, P, H, W)
+                pg_renderer.draw_all_fields(arr, pause_on_event=True)
         if finished.all():
             break
     wins0 = int((winner == 0).sum())

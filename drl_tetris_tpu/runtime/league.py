@@ -10,7 +10,7 @@ for the 10M-step reference-parity benchmark in BASELINE.md.
 from __future__ import annotations
 
 import collections
-from typing import Deque, Dict, Optional, Tuple
+from typing import Deque, Dict, Optional, Sequence, Tuple
 
 import jax
 
@@ -30,7 +30,7 @@ class TrainingLeague:
     def __init__(self, env_cfg: EnvConfig, net, random_params,
                  out_dir: Optional[str] = None, games_per_pair: int = 16,
                  max_pool: int = 4, distribution: str = "argmax",
-                 kind: str = "macro"):
+                 kind: str = "macro", fixed_anchors: Sequence = ()):
         self.env_cfg = env_cfg
         self.net = net
         self.distribution = distribution
@@ -45,6 +45,14 @@ class TrainingLeague:
             distribution="pi" if kind == "macro" else "epsilon",
             kind=kind, epsilon=1.0)
         self.history.steps["random"] = 0
+        # External fixed anchors (e.g. a strong reference checkpoint):
+        # permanent league entrants that every snapshot plays, making
+        # ratings comparable ACROSS runs — intra-run league curves alone
+        # proved non-transferable (r3: a monotone curve whose final lost
+        # 0-64 to an external checkpoint).
+        self.fixed_anchors = list(fixed_anchors)
+        for a in self.fixed_anchors:
+            self.history.steps[a.name] = 0
 
     def evaluate(self, params, step: int, seed: int = 0) -> Dict[str, float]:
         """Snapshot ``params`` at ``step``, play it against the pool + anchor,
@@ -53,7 +61,7 @@ class TrainingLeague:
         snap = EvalAgent(name=name, params=jax.tree.map(lambda a: a, params),
                          net=self.net, distribution=self.distribution,
                          kind=self.kind)
-        opponents = list(self.pool) + [self.anchor]
+        opponents = list(self.pool) + [self.anchor] + self.fixed_anchors
         board = round_robin(self.env_cfg, [snap] + opponents,
                             games_per_pair=self.games_per_pair, seed=seed)
         ratings = self.history.add_result(board, step, name)

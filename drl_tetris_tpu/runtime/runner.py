@@ -41,12 +41,31 @@ from drl_tetris_tpu.algos.rollout import (HParams, make_rollout_fn,
 # ---------------------------------------------------------------------------
 
 
+def effective_flavour(fw) -> str:
+    """The reference selects dual-policy via single_policy=False with the
+    agent flavour unchanged (worker.py:157-192); map that combination onto
+    the runner's 'dual' flavour."""
+    flavour = getattr(fw, "flavour", "ppo")
+    if flavour == "ppo" and not fw.ppo.single_policy:
+        return "dual"
+    return flavour
+
+
 def make_worker_parts(cfg: StandaloneConfig, env, flavour: str = "ppo",
                       fw=None):
-    """(net, rollout(params, env_state, key) -> (env_state', seg, v_last),
-    process(seg, v_last) -> payload dict).  On-policy flavours ship
-    processed batches; replay flavours ship raw segments (the trainer owns
-    the replay, sventon_agent_trainer_base.py:35-42)."""
+    """(net, rollout(params, env_state, key, hp) -> (env_state', seg,
+    v_last), process(seg, v_last, env_state) -> payload dict, n_policies).
+
+    On-policy flavours ship processed batches; replay flavours ship raw
+    segments (the trainer owns the replay,
+    sventon_agent_trainer_base.py:35-42).  Every rollout takes an HParams
+    so the runner can evaluate epsilon/temperature schedules per iteration
+    against the shared workers clock (the reference re-evaluates
+    parameters per loop, sventon_agent.py:87-89) — flavours whose sampling
+    ignores them (ppo pi-sampling, sherlock delta-sampling) accept and
+    drop the argument.  `n_policies` is 2 for the dual flavour
+    (single_policy=False, worker.py:157-192): params is then a
+    (policy_0, policy_1) tuple."""
     dist = getattr(fw, "train_distribution", "pi") if fw else "pi"
     if flavour == "ppo":
         net = PPONet(cfg.model, full_network=True)
@@ -54,7 +73,7 @@ def make_worker_parts(cfg: StandaloneConfig, env, flavour: str = "ppo",
         proc = jax.jit(lambda seg, v_last: segment_to_batch(
             cfg.ppo, seg, v_last))
 
-        def _ship(seg, v):
+        def _ship(seg, v, env_state):
             # segment_to_batch returns (Batch, gae_stats); ship ONLY the
             # batch as packet["batch"] (the trainer core re-wraps it via
             # Batch(**batch._asdict()), runner._OnPolicyCore.add) and the
@@ -63,29 +82,50 @@ def make_worker_parts(cfg: StandaloneConfig, env, flavour: str = "ppo",
             b, gae_stats = proc(seg, v)
             return {"batch": jax.device_get(b),
                     "stats": {k: float(x) for k, x in gae_stats.items()}}
-        return net, roll, _ship
+        return net, roll, _ship, 1
+    if flavour == "dual":
+        # single_policy=False through the SAME runscripts
+        # (worker.py:157-192): the worker rolls both policies in one
+        # program, merges/splits experience per policy (algos/dual.py)
+        # and ships one batch per policy plus the finished-round winners
+        # the trainer's win-rate gate consumes
+        # (sventon_agent_dqn_trainer.py:16-18).
+        import dataclasses as _dc
+        from drl_tetris_tpu.algos.dual import (make_dual_rollout_fn,
+                                               split_dual_segment)
+        net = PPONet(cfg.model, full_network=True)
+        ppo_cfg = _dc.replace(cfg.ppo, single_policy=False)
+        base = make_dual_rollout_fn(env, net, cfg.horizon)
+        roll = lambda P, st, k, hp=None: base(P[0], P[1], st, k, hp)
+        proc = jax.jit(lambda seg, v_last: split_dual_segment(
+            ppo_cfg, seg, v_last))
+
+        def _ship(seg, v, env_state):
+            b0, b1, stats = proc(seg, v)
+            return {"batch0": jax.device_get(b0),
+                    "batch1": jax.device_get(b1),
+                    "winners": jax.device_get(env.get_winner(env_state)),
+                    "stats": {k: float(x) for k, x in stats.items()}}
+        return net, roll, _ship, 2
     if flavour == "dqn":
-        from drl_tetris_tpu.config.parameter import param_eval
         net = QNet(cfg.model, full_network=True)
-        eps = float(param_eval(getattr(fw, "epsilon", 0.05) if fw else 0.05))
-        base = make_rollout_fn(env, net, cfg.horizon,
+        roll = make_rollout_fn(env, net, cfg.horizon,
                                distribution=dist if dist != "pi"
-                               else "epsilon", epsilon=eps)
-        roll = lambda p, st, k: base(p, st, k, HParams(epsilon=eps))
-        return net, roll, lambda seg, v: {"segment": jax.device_get(seg)}
+                               else "epsilon")
+        return (net, roll,
+                lambda seg, v, env_state: {"segment": jax.device_get(seg)},
+                1)
     if flavour == "sixten":
         from drl_tetris_tpu.algos.sixten import VNet, make_sixten_rollout
-        from drl_tetris_tpu.config.parameter import param_eval
         net = VNet(cfg.model, full_network=True)
-        eps = float(param_eval(getattr(fw, "epsilon", 0.05) if fw else 0.05))
         space = (fw.settings.get("sixten_action_space", "top_drop")
                  if fw is not None and hasattr(fw, "settings") else "top_drop")
-        base = make_sixten_rollout(env, net, cfg.horizon,
+        roll = make_sixten_rollout(env, net, cfg.horizon,
                                    distribution=dist if dist != "pi"
-                                   else "epsilon",
-                                   epsilon=eps, action_space=space)
-        roll = lambda p, st, k: base(p, st, k, HParams(epsilon=eps))
-        return net, roll, lambda seg, v: {"segment": jax.device_get(seg)}
+                                   else "epsilon", action_space=space)
+        return (net, roll,
+                lambda seg, v, env_state: {"segment": jax.device_get(seg)},
+                1)
     if flavour == "sherlock":
         from drl_tetris_tpu.algos.sherlock import (
             SherlockNet, make_sherlock_rollout, sherlock_segment_to_batch,
@@ -95,12 +135,15 @@ def make_worker_parts(cfg: StandaloneConfig, env, flavour: str = "ppo",
                 else SherlockConfig())
         space = (fw.settings.get("sherlock_action_space", "top_drop")
                  if fw is not None and hasattr(fw, "settings") else "top_drop")
-        roll = make_sherlock_rollout(env, net, cfg.horizon,
+        base = make_sherlock_rollout(env, net, cfg.horizon,
                                      action_space=space)
+        roll = lambda p, st, k, hp=None: base(p, st, k)
         proc = jax.jit(lambda seg, v_last: sherlock_segment_to_batch(
             scfg, seg, v_last)[0])
-        return net, roll, lambda seg, v: {"batch": jax.device_get(
-            proc(seg, v))}
+        return (net, roll,
+                lambda seg, v, env_state: {"batch": jax.device_get(
+                    proc(seg, v))},
+                1)
     raise ValueError(f"unknown flavour {flavour!r}")
 
 
@@ -132,6 +175,9 @@ class _OnPolicyCore:
         self.min_samples = min_samples
         self.pending = []
         self.pending_n = 0
+
+    def publish_params(self):
+        return self.state.params
 
     def add(self, packet):
         self.pending.append(self.Batch(**packet["batch"]._asdict())
@@ -191,6 +237,9 @@ class _ReplayCore:
         self.horizon = cfg.horizon
         self.t = 0
 
+    def publish_params(self):
+        return self.state.params
+
     def add(self, packet):
         seg = jax.device_put(packet["segment"])
         self.replay = self._add(self.replay_cfg, self.replay, seg,
@@ -208,12 +257,89 @@ class _ReplayCore:
         return {k: float(v) for k, v in stats.items()}
 
 
+class _DualCore:
+    """Dual-policy PPO trainer core (single_policy=False through process
+    mode): one state per policy, batches accumulated per policy, and the
+    reference's win-rate training gate — a policy winning more than
+    0.5 + tolerance is not trained until the other catches up
+    (sventon_agent_dqn_trainer.py:16-18, presets.py:179-180)."""
+
+    def __init__(self, cfg, fw, min_samples):
+        import dataclasses as _dc
+        from drl_tetris_tpu.algos.dual import WinRateTracker
+        from drl_tetris_tpu.algos.ppo import Batch as B
+        H, W = cfg.env.engine.height, cfg.env.engine.width
+        dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        self.net = PPONet(cfg.model, full_network=True)
+        ppo_cfg = _dc.replace(cfg.ppo, single_policy=False)
+        init_opt, self.update = make_ppo_update(
+            cfg.env.engine, self.net, ppo_cfg)
+        self.Batch = B
+        s = (fw.settings if fw is not None and hasattr(fw, "settings")
+             else {})
+        self.winrate = WinRateTracker(
+            lr=float(s.get("winrate_learningrate", 0.02)),
+            tolerance=float(s.get("winrate_tolerance", 0.1)))
+        key = jax.random.PRNGKey(cfg.seed + 7)
+        self.key, k0, k1 = jax.random.split(key, 3)
+        self.states = [init_opt(self.net.init(k, *dummy)) for k in (k0, k1)]
+        self.min_samples = min_samples
+        self.pending = ([], [])
+        self.pending_n = 0
+
+    # Runner persistence views: `state` is the (policy_0, policy_1) pytree
+    @property
+    def state(self):
+        return tuple(self.states)
+
+    @state.setter
+    def state(self, value):
+        self.states = list(value)
+
+    def publish_params(self):
+        """Both param trees, as the worker-side (policy_0, policy_1) tuple
+        (model dict policy_0/policy_1, sventon_agent_base.py:96-111)."""
+        return tuple(st.params for st in self.states)
+
+    def add(self, packet):
+        for p, k in enumerate(("batch0", "batch1")):
+            b = packet[k]
+            self.pending[p].append(
+                self.Batch(**b._asdict())
+                if not isinstance(b, self.Batch) else b)
+        self.winrate.update(packet.get("winners", ()))
+        self.pending_n += len(self.pending[0][-1].piece)
+
+    def maybe_train(self):
+        if self.pending_n < self.min_samples:
+            return None
+        import numpy as np
+        stats = {}
+        for p in (0, 1):
+            cat = self.Batch(*[
+                jnp.asarray(np.concatenate(
+                    [getattr(b, f) for b in self.pending[p]]))
+                for f in self.Batch._fields])
+            if not self.winrate.should_train(p):
+                continue
+            self.key, kupd = jax.random.split(self.key)
+            self.states[p], s = self.update(self.states[p], cat, kupd)
+            stats.update({f"policy_{p}/{k}": float(v)
+                          for k, v in s.items()})
+        self.pending = ([], [])
+        self.pending_n = 0
+        stats["winrate/policy_0"] = self.winrate.rate_0
+        return stats
+
+
 def make_trainer_core(cfg: StandaloneConfig, flavour: str = "ppo", fw=None,
                       min_samples: int = 2048):
     if flavour in ("ppo", "sherlock"):
         return _OnPolicyCore(cfg, flavour, fw, min_samples)
     if flavour in ("dqn", "sixten"):
         return _ReplayCore(cfg, flavour, fw)
+    if flavour == "dual":
+        return _DualCore(cfg, fw, min_samples)
     raise ValueError(f"unknown flavour {flavour!r}")
 
 
@@ -266,16 +392,36 @@ class WorkerRunner(Runner):
                  flavour: str = "ppo", fw=None):
         super().__init__(ts)
         self.cfg = cfg
+        self.flavour = flavour
         self.env = TetrisVectorEnv(cfg.env, cfg.n_envs)
-        self.net, self.rollout, self._process = make_worker_parts(
+        self.net, self.rollout, self._process, n_policies = make_worker_parts(
             cfg, self.env, flavour, fw)
+        # sampling schedules, evaluated per iteration against the shared
+        # workers clock (tools/parameter.py evaluated per loop,
+        # sventon_agent.py:87-89; r3 VERDICT item 7 — these were frozen at
+        # construction before)
+        self._sched_eps = getattr(fw, "epsilon", 0.05) if fw else 0.05
+        self._sched_temp = (getattr(fw, "action_temperature", 1.0)
+                            if fw else 1.0)
+        self._tau = (getattr(fw, "tau_learning_rate", 0.01) if fw else 0.01)
+        self._dist = getattr(fw, "train_distribution", "pi") if fw else "pi"
+        self.avg_traj_len = 12.0          # sherlock_agent.py:39 init
+        self._ep_len = None
         key = jax.random.PRNGKey(cfg.seed)
-        self.key, kinit, kenv = jax.random.split(key, 3)
+        self.key, kenv, *kinit = jax.random.split(key, 3 + n_policies - 1)
         H, W = cfg.env.engine.height, cfg.env.engine.width
-        self.params = self.net.init(
-            kinit, [jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        dummy = ([jnp.zeros((1, 12))] * 2, [jnp.zeros((1, H, W, 1))] * 2)
+        inits = [self.net.init(k, *dummy) for k in kinit]
+        self.params = inits[0] if n_policies == 1 else tuple(inits)
         self.env_state = self.env.reset(kenv)
         self.weights_index = 0
+
+    def _hparams(self, t: int) -> HParams:
+        from drl_tetris_tpu.config.parameter import param_eval
+        return HParams(
+            epsilon=jnp.float32(param_eval(self._sched_eps, t)),
+            temperature=jnp.float32(param_eval(self._sched_temp, t)),
+            avg_traj_len=jnp.float32(self.avg_traj_len))
 
     def get_runner_state(self):
         return jax.device_get((self.env_state, self.params,
@@ -293,11 +439,13 @@ class WorkerRunner(Runner):
 
     def validation_computation(self):
         """Recovered workers must reproduce bit-identical policy output
-        (worker.py:62-69)."""
+        (worker.py:62-69).  Dual flavour validates policy_0's output."""
         obs = self.env.observe(self.env_state)
         from drl_tetris_tpu.algos.rollout import policy_inputs
         vec, vis = policy_inputs(obs)
-        return jax.device_get(self.net.apply(self.params, vec, vis))
+        params = (self.params[0] if isinstance(self.params, tuple)
+                  else self.params)
+        return jax.device_get(self.net.apply(params, vec, vis))
 
     def graceful_exit(self):
         self.ts.unset_alive()
@@ -320,21 +468,29 @@ class WorkerRunner(Runner):
                    f"(weights_index={self.weights_index})")
         while not self.received_interrupt:
             self.ts.heartbeat()
-            self.ts.tick_clock(self.cfg.n_envs * self.cfg.horizon)
+            clock = self.ts.tick_clock(self.cfg.n_envs * self.cfg.horizon)
             self.update_weights()
             self.key, kroll = jax.random.split(self.key)
+            hp = self._hparams(clock)
             self.env_state, seg, v_last = self.rollout(
-                self.params, self.env_state, kroll)
+                self.params, self.env_state, kroll, hp)
+            if self._dist == "adaptive_epsilon":
+                from drl_tetris_tpu.runtime.standalone import _traj_len_ema
+                if self._ep_len is None:
+                    self._ep_len = jnp.zeros(self.cfg.n_envs, jnp.int32)
+                self._ep_len, self.avg_traj_len = _traj_len_ema(
+                    seg.done, self._ep_len, self.avg_traj_len, self._tau)
             packet = {
                 "worker": self.ts.me,
                 "weights_index": self.weights_index,
-                **self._process(seg, v_last),
+                **self._process(seg, v_last, self.env_state),
             }
             self.ts.push_data(packet)
             steps += self.cfg.n_envs * self.cfg.horizon
             if logger:
                 logger(f"{self.ts.me}: segment pushed  steps={steps:,}  "
                        f"weights_index={self.weights_index}  "
+                       f"epsilon={float(hp.epsilon):.4f}  "
                        f"queue={self.ts.queue_len()}")
             if max_steps is not None and steps >= max_steps:
                 break
@@ -369,11 +525,11 @@ class TrainerRunner(Runner):
         self.core.state = jax.device_put(state)
 
     def validation_computation(self):
-        return jax.device_get(jax.tree.leaves(self.core.state.params)[0])
+        return jax.device_get(jax.tree.leaves(self.core.publish_params())[0])
 
     def graceful_exit(self):
         """trainer.py:47-50: publish final weights + store snapshot."""
-        self.ts.publish_weights(jax.device_get(self.core.state.params))
+        self.ts.publish_weights(jax.device_get(self.core.publish_params()))
         self.ts.unset_alive()
 
     def drain(self):
@@ -404,7 +560,8 @@ class TrainerRunner(Runner):
             stats = self.maybe_train()
             if stats is not None:
                 updates += 1
-                idx = self.ts.publish_weights(jax.device_get(self.state.params))
+                idx = self.ts.publish_weights(
+                    jax.device_get(self.core.publish_params()))
                 for k, v in stats.items():
                     self.ts.stats_set(k, v)
                 if logger and updates % log_every == 0:

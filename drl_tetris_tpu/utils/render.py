@@ -21,6 +21,16 @@ _TILE_COLORS = [129, 208, 93, 199, 201, 202, 57, 240]
 _RESET = "\x1b[0m"
 
 
+def progress_bar(current, total, length: int = 30, start: str = "[",
+                 stop: str = "]", done: str = "|", remaining: str = "-"
+                 ) -> str:
+    """The reference's textual bar (tools/utils.py:103-107), used by the
+    eval-time NN entropy visualization (scripts/eval.py:17-28)."""
+    progress = 0.0 if total <= 0 else min(max(current / total, 0.0), 1.0)
+    done_ticks = round(progress * length)
+    return start + done * done_ticks + remaining * (length - done_ticks) + stop
+
+
 def field_arrays(cfg: EngineConfig, state: EngineState,
                  with_piece: bool = True) -> np.ndarray:
     """(N, P, H, W) uint8 tile arrays from a batched engine state: 1 for

@@ -121,6 +121,69 @@ def test_worker_trainer_end_to_end(kv_server):
     assert idx >= 1
 
 
+def test_dual_policy_worker_trainer_end_to_end(kv_server):
+    """single_policy=False through process mode (worker.py:157-192): the
+    worker ships one batch per policy + round winners; the trainer trains
+    two states behind the win-rate gate and publishes BOTH param trees."""
+    jax.config.update("jax_platforms", "cpu")
+    from drl_tetris_tpu.runtime.standalone import StandaloneConfig
+    from drl_tetris_tpu.runtime.runner import WorkerRunner, TrainerRunner
+    from drl_tetris_tpu.models.nets import ModelConfig
+    from drl_tetris_tpu.algos.ppo import PPOConfig
+
+    cfg = StandaloneConfig(
+        n_envs=4, horizon=8,
+        model=ModelConfig(tower_layers=2, tower_filters=8,
+                          val_layers=2, val_filters=8),
+        ppo=PPOConfig(minibatch_size=8, n_train_epochs=1))
+    ts_w = TrainingState("e2e-dual", port=PORT)
+    ts_t = TrainingState("e2e-dual", role="trainer", port=PORT)
+    worker = WorkerRunner(cfg, ts_w, flavour="dual")
+    assert isinstance(worker.params, tuple) and len(worker.params) == 2
+    trainer = TrainerRunner(cfg, ts_t, min_samples=32, flavour="dual")
+
+    worker.run(max_steps=64)      # 2 segments -> 16 samples/policy each
+    assert ts_t.queue_len() >= 1
+    updates = trainer.run(max_updates=1)
+    assert updates == 1
+    # both policies' weights are published as a (p0, p1) tuple and a
+    # fresh worker adopts them
+    idx = worker.update_weights()
+    assert idx >= 1
+    assert isinstance(worker.params, tuple) and len(worker.params) == 2
+
+
+def test_worker_epsilon_schedule_threads_per_iteration(kv_server):
+    """Process-mode sampling schedules are evaluated per iteration against
+    the shared workers clock (r3 VERDICT item 7): a decaying epsilon
+    Parameter shows up decayed in the worker's own logs."""
+    jax.config.update("jax_platforms", "cpu")
+    from types import SimpleNamespace
+    from drl_tetris_tpu.runtime.standalone import StandaloneConfig
+    from drl_tetris_tpu.runtime.runner import WorkerRunner
+    from drl_tetris_tpu.models.nets import ModelConfig
+    from drl_tetris_tpu.algos.ppo import PPOConfig
+    from drl_tetris_tpu.config.parameter import LinearParameter
+
+    cfg = StandaloneConfig(
+        n_envs=4, horizon=8,
+        model=ModelConfig(tower_layers=2, tower_filters=8,
+                          val_layers=2, val_filters=8),
+        ppo=PPOConfig(minibatch_size=8, n_train_epochs=1))
+    fw = SimpleNamespace(
+        train_distribution="epsilon",
+        epsilon=LinearParameter(1.0, final_val=0.0, time_horizon=320),
+        action_temperature=1.0, tau_learning_rate=0.01, settings={})
+    ts = TrainingState("epssched", port=PORT)
+    worker = WorkerRunner(cfg, ts, flavour="dqn", fw=fw)
+    lines = []
+    worker.run(max_steps=96, logger=lines.append)   # 3 segments
+    eps = [float(l.split("epsilon=")[1].split()[0])
+           for l in lines if "epsilon=" in l]
+    assert len(eps) == 3
+    assert eps[0] > eps[1] > eps[2], eps   # decays with the clock
+
+
 def test_checkpoint_roundtrip(tmp_path):
     jax.config.update("jax_platforms", "cpu")
     from drl_tetris_tpu.runtime import checkpoint as ckpt
