@@ -76,6 +76,10 @@ def test_piece_position_legal():
             assert bool(ok), f"player {i} piece embedded in stack"
 
 
+@pytest.mark.slow  # the suite's largest XLA:CPU compile (step_keys with a
+# 16-key fori_loop x 2 players); compiling it concurrently with another
+# heavy process is also the reproducible under-load segfault site
+# (NOTES_ROUND4), so it stays out of the quick set
 def test_macro_equals_key_sequence():
     """(r, t) macro == the key string [8]*r + [2] + [3]*t + [7]
     (sventon_utils.py:9-13)."""
