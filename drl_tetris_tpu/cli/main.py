@@ -258,6 +258,36 @@ def _train_one(cfg, args):
             reward_shaper=_make_shaper(cfg))
         tr = StandaloneTrainer(scfg)
 
+    if getattr(args, "init_from", None):
+        # Warm start: restore a checkpoint's params subtree into the fresh
+        # optimizer state (the reference continues runs by loading weight
+        # files into a new agent, sventon_agent_base.py:116-145).  The
+        # optimizer moments restart — intentional for curriculum phases
+        # with different hyperparameters.
+        import jax.numpy as jnp
+        raw = ckpt.restore_raw(args.init_from)
+        raw_params = raw.get("params", raw) if isinstance(raw, dict) else raw
+        tr.state = tr.state.replace(params=jax.tree.map(
+            lambda ref, v: jnp.asarray(v, ref.dtype).reshape(ref.shape),
+            tr.state.params, raw_params))
+        print(f"[init] params restored from {args.init_from}", flush=True)
+
+    for path in getattr(args, "pool_seed", None) or []:
+        # Pre-seed the opponent pool with external checkpoints (e.g. a
+        # strong reference agent): the learner then trains against them
+        # from iteration 0 at pool_prob, not only against its own past.
+        import jax.numpy as jnp
+        if getattr(scfg, "pool_prob", 0) <= 0:
+            raise SystemExit("--pool-seed requires pool_prob > 0 "
+                             "(--set pool_prob=...)")
+        raw = ckpt.restore_raw(path)
+        raw_params = raw.get("params", raw) if isinstance(raw, dict) else raw
+        seeded = jax.tree.map(
+            lambda ref, v: jnp.asarray(v, ref.dtype).reshape(ref.shape),
+            tr.state.params, raw_params)
+        tr._pool.append(seeded)
+        print(f"[pool] seeded opponent from {path}", flush=True)
+
     steps_per_iter = scfg.n_envs * scfg.horizon
     league = make_league(tr.net)
     with MetricsWriter(metrics_dir, cfg.run_id) as mw:
@@ -597,6 +627,13 @@ def main(argv=None):
                    help="external checkpoint(s) added to the league as "
                         "permanent fixed entrants — makes Elo curves "
                         "comparable across runs (repeatable)")
+    t.add_argument("--init-from", default=None, metavar="CHECKPOINT",
+                   help="warm-start: restore this checkpoint's params into "
+                        "the fresh train state (optimizer restarts)")
+    t.add_argument("--pool-seed", action="append", default=[],
+                   metavar="CHECKPOINT",
+                   help="pre-seed the opponent pool with external "
+                        "checkpoint(s); needs pool_prob > 0 (repeatable)")
     t.add_argument("--distributed", action="store_true",
                    help="mesh actor-learner over all local devices")
     t.add_argument("--multihost", action="store_true",
