@@ -405,7 +405,8 @@ def cmd_play(args):
     cfg = _load_cfg(args)
     a, cfg = _load_agent(args.checkpoint or "random", cfg, name="A")
     b, _ = _load_agent(args.checkpoint or "random", cfg, name="B")
-    play_match(cfg.env, (a, b), n_games=1, seed=args.seed, render=True)
+    play_match(cfg.env, (a, b), n_games=1, seed=args.seed, render=True,
+               pygame=getattr(args, "pygame", False))
 
 
 def cmd_print_config(args):
@@ -658,6 +659,9 @@ def main(argv=None):
     _add_common(w)
     w.add_argument("checkpoint", nargs="?")
     w.add_argument("--seed", type=int, default=0)
+    w.add_argument("--pygame", action="store_true",
+                   help="also open the pygame window renderer "
+                        "(pause on keypress, draw_tetris.py:103-143)")
     w.set_defaults(fn=cmd_play)
 
     c = sub.add_parser("print-config", help="dump the resolved configuration")
