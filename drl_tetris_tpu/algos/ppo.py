@@ -47,6 +47,16 @@ class PPOConfig:
     entropy_loss: float = 0.0         # c3
     entropy_floor_loss: float = 0.0
     rescaled_entropy: float = 0.0
+    # Standalone floor coefficient — a DELIBERATE extension beyond the
+    # reference: in ppo_nets.py:178-191 the floor term only reaches the
+    # loss scaled by c3 (entropy_loss), so "floor without bonus" is
+    # inexpressible there — yet the bonus is exactly what pinned r3's
+    # entropy at ~2.8 for 9M steps, and with c3=0 the clean recipe
+    # cliff-collapses to H~0 (NOTES_ROUND4).  This adds
+    # entropy_floor_standalone * mean(relu(floor - H)) directly to the
+    # loss (floor = eps-noise entropy at ppo_epsilon), active ONLY when
+    # entropy dips below the floor.
+    entropy_floor_standalone: float = 0.0
     ppo_epsilon: float = 0.0
     nn_regularizer: float = 1e-5
     lr: float = 1e-7                  # value_lr
@@ -357,11 +367,22 @@ def make_ppo_update(engine_cfg: EngineConfig, net, cfg: PPOConfig,
                 cfg.compress_value_loss, vloss_comp, value_loss, axis_name)
         policy_loss = -cfg.policy_loss * jnp.mean(policy_obj)
         entropy_loss = -cfg.entropy_loss * jnp.mean(entropy_bonus)
+        # standalone collapse guard (see PPOConfig.entropy_floor_standalone):
+        # penalize only the part of the action entropy below the eps-noise
+        # floor, independent of the c3 bonus coefficient
+        floor_pen = jnp.float32(0)
+        if cfg.entropy_floor_standalone:
+            eps_f = jnp.float32(max(cfg.ppo_epsilon, 1e-8))
+            floor = (-eps_f * jnp.log(eps_f / (n_actions - 1))
+                     - (1 - eps_f) * jnp.log(1 - eps_f))
+            floor_pen = cfg.entropy_floor_standalone * jnp.mean(
+                jax.nn.relu(floor - action_entropy))
         # tf.nn.l2_loss = sum(w^2)/2 over all variables (ppo_nets.py:191)
         reg = cfg.nn_regularizer * 0.5 * sum(
             jnp.sum(jnp.square(w)) for w in jax.tree.leaves(params))
-        loss = value_loss + policy_loss + entropy_loss + reg
+        loss = value_loss + policy_loss + entropy_loss + floor_pen + reg
         stats = {
+            "losses/entropy_floor_penalty": floor_pen,
             "losses/total_loss": loss,
             "losses/value_loss": value_loss,
             "losses/policy_loss": -policy_loss,

@@ -280,6 +280,7 @@ def resolve(settings: Dict[str, Any], run_id: str = "run") -> FrameworkConfig:
         policy_loss=s.get("policy_loss", 0.9),
         entropy_loss=s.get("entropy_loss", 0.0),
         entropy_floor_loss=s.get("entropy_floor_loss", 0.0),
+        entropy_floor_standalone=s.get("entropy_floor_standalone", 0.0),
         rescaled_entropy=s.get("rescaled_entropy", 0.0),
         ppo_epsilon=s.get("ppo_epsilon", 0.0),
         nn_regularizer=s.get("nn_regularizer", 1e-5),
