@@ -145,12 +145,27 @@ def _train_one(cfg, args):
                               fixed_anchors=anchors)
 
     def league_tick(league, it, params, total):
-        if league is not None and it % args.league_every == 0:
-            ratings = league.evaluate(params, total, seed=args.seed + it)
-            latest = ratings.get(f"step_{total}", 0.0)
-            print(f"[league] step {total:,}: elo={latest:.1f}  "
-                  + " ".join(f"{k}={v:.0f}" for k, v in
-                             sorted(ratings.items())), flush=True)
+        if league is None or it % args.league_every:
+            return
+        # The league is telemetry: a transient backend failure (e.g. a
+        # dropped remote-compile connection) must not kill a multi-hour
+        # training run.  Retry with backoff, then skip the tick.
+        for attempt in range(3):
+            try:
+                ratings = league.evaluate(params, total, seed=args.seed + it)
+                break
+            except Exception as e:  # noqa: BLE001 — deliberately broad
+                print(f"[league] eval failed (attempt {attempt + 1}/3): "
+                      f"{str(e).splitlines()[0][:200]}", flush=True)
+                time.sleep(5.0 * (attempt + 1))
+        else:
+            print(f"[league] step {total:,}: SKIPPED after 3 failures",
+                  flush=True)
+            return
+        latest = ratings.get(f"step_{total}", 0.0)
+        print(f"[league] step {total:,}: elo={latest:.1f}  "
+              + " ".join(f"{k}={v:.0f}" for k, v in
+                         sorted(ratings.items())), flush=True)
 
     if args.distributed:
         from drl_tetris_tpu.parallel.mesh import (
@@ -258,6 +273,28 @@ def _train_one(cfg, args):
             reward_shaper=_make_shaper(cfg))
         tr = StandaloneTrainer(scfg)
 
+    resumed_from = None
+    if getattr(args, "resume", False):
+        # Crash/preemption recovery: restore the FULL train state (params +
+        # optimizer moments + step budget) from the run's own latest
+        # checkpoint and continue counting from there.  Unlike --init-from
+        # (a warm start into a fresh run), this continues the same run-id.
+        if not hasattr(tr, "state"):
+            raise SystemExit("--resume supports the single-state trainers "
+                             "(ppo/dqn/sixten/sherlock); dual-policy "
+                             "checkpoints persist policy 0 only — use "
+                             "--init-from for a warm start instead")
+        latest = ckpt.latest_step(ckpt_dir)
+        if latest is None:
+            print(f"[resume] no checkpoint in {ckpt_dir}; starting fresh",
+                  flush=True)
+        else:
+            tr.state = ckpt.restore(ckpt_dir, tr.state, step=latest)
+            tr.total_steps = latest
+            resumed_from = latest
+            print(f"[resume] restored {ckpt_dir} @ step {latest:,}",
+                  flush=True)
+
     if getattr(args, "init_from", None):
         # Warm start: restore a checkpoint's params subtree into the fresh
         # optimizer state (the reference continues runs by loading weight
@@ -290,6 +327,26 @@ def _train_one(cfg, args):
 
     steps_per_iter = scfg.n_envs * scfg.horizon
     league = make_league(tr.net)
+    if league is not None and resumed_from is not None:
+        # Re-seed the league's rolling opponent pool from the run's own
+        # saved snapshots so the resumed segment keeps playing its recent
+        # past.  (The cumulative cross-table is not reconstructed — the
+        # appended elo_history.jsonl carries both segments; ratings refit
+        # over post-resume games only.)
+        from drl_tetris_tpu.runtime.evaluate import EvalAgent
+        steps = sorted(s for s in (int(d) for d in os.listdir(ckpt_dir)
+                                   if d.isdigit()) if s <= resumed_from)
+        for s in steps[-4:]:
+            raw = ckpt.restore_raw(ckpt_dir, step=s)
+            raw_params = raw.get("params", raw) if isinstance(raw, dict) \
+                else raw
+            league.pool.append(EvalAgent(
+                name=f"step_{s}", params=raw_params, net=tr.net,
+                distribution=league.distribution, kind=league.kind))
+            league.history.steps[f"step_{s}"] = s
+        if steps:
+            print(f"[resume] league pool re-seeded from snapshots "
+                  f"{steps[-4:]}", flush=True)
     with MetricsWriter(metrics_dir, cfg.run_id) as mw:
         it = 0
         while tr.total_steps < args.steps:
@@ -628,6 +685,10 @@ def main(argv=None):
                    help="external checkpoint(s) added to the league as "
                         "permanent fixed entrants — makes Elo curves "
                         "comparable across runs (repeatable)")
+    t.add_argument("--resume", action="store_true",
+                   help="continue this run-id from its latest checkpoint "
+                        "(full train state: params + optimizer + step "
+                        "count); no-op if the run dir is empty")
     t.add_argument("--init-from", default=None, metavar="CHECKPOINT",
                    help="warm-start: restore this checkpoint's params into "
                         "the fresh train state (optimizer restarts)")

@@ -120,3 +120,31 @@ def test_up_topology_dual_policy():
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "claimed slot worker-0" in out.stdout
     assert "trainer: update 1" in out.stdout
+
+
+@pytest.mark.slow
+def test_train_resume_continues_run(tmp_path):
+    """`train --resume` restores the FULL train state from the run's own
+    latest checkpoint and continues the step count (crash/preemption
+    recovery for standalone runs; the league pool is re-seeded from saved
+    snapshots)."""
+    base = [sys.executable, "-m", "drl_tetris_tpu", "train",
+            "--run-id", "resume_t", "--platform", "cpu",
+            "--n-envs", "2", "--horizon", "8",
+            "--save-every", "1", "--data-dir", str(tmp_path),
+            "--set", "tower_layers=1", "tower_filters=4", "val_layers=1",
+            "val_filters=4", "minibatch_size=8",
+            "n_train_epochs_per_update=1", "compute_dtype=float32"]
+    out = subprocess.run(base + ["--steps", "16"],
+                         capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    ck = tmp_path / "models" / "resume_t"
+    first_steps = sorted(int(p.name) for p in ck.iterdir() if p.name.isdigit())
+    assert first_steps and first_steps[-1] == 16
+
+    out = subprocess.run(base + ["--steps", "32", "--resume"],
+                         capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert "[resume] restored" in out.stdout
+    later = sorted(int(p.name) for p in ck.iterdir() if p.name.isdigit())
+    assert later[-1] == 32, later
