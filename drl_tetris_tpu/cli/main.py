@@ -295,7 +295,12 @@ def _train_one(cfg, args):
             print(f"[resume] restored {ckpt_dir} @ step {latest:,}",
                   flush=True)
 
-    if getattr(args, "init_from", None):
+    if getattr(args, "init_from", None) and resumed_from is not None:
+        # --resume already restored this run's own later state; re-applying
+        # the warm start would clobber the progress made since it.
+        print(f"[init] --init-from skipped (resumed @ {resumed_from:,})",
+              flush=True)
+    elif getattr(args, "init_from", None):
         # Warm start: restore a checkpoint's params subtree into the fresh
         # optimizer state (the reference continues runs by loading weight
         # files into a new agent, sventon_agent_base.py:116-145).  The
