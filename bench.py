@@ -160,13 +160,13 @@ def main():
     # samples/s learner-side, README.md:112).
     # Two geometries (VERDICT r3 item 4 — the benched recipe must be the
     # recipe that trains): the headline `train_*` keys are the committed
-    # learning recipe (512x72 mb64 — the r4_learning runs in
+    # learning recipe (1024x64 mb64 — the parity10m_r4* runs in
     # LEARNING_r04.json use exactly this shape), and `train_peak_*` is the
     # TPU-shaped batch geometry showing the chip's headroom.
     train = None
     if "--no-train" not in sys.argv:
         try:
-            train = bench_training(n_envs=512, horizon=72, minibatch=64)
+            train = bench_training(n_envs=1024, horizon=64, minibatch=64)
             peak_geom = bench_training(n_envs=2048, horizon=72,
                                        minibatch=2048)
             train.update({f"train_peak_{k[len('train_'):]}" : v
