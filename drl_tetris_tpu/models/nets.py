@@ -224,10 +224,13 @@ class ModelConfig:
 
     compute_dtype: activation/conv compute precision.  'bfloat16' (the
     default) runs the towers on the MXU at full rate with float32 params
-    and float32 heads (policy softmax / value tanh stay f32) — ~1.6x
-    faster per sample (round-1 bench); the learning-curve A/B backing the
-    default is recorded in docs/NOTES_ROUND3.md ("bf16 A/B").  Set
-    'float32' for bit-stable comparisons."""
+    and float32 heads (policy softmax / value tanh stay f32).  Measured
+    (docs/NOTES_ROUND3.md "bf16 A/B"): 1M-step learning curves match f32
+    within 0.03-0.07 nats of entropy at every checkpoint, end-to-end
+    training is ~14% faster at the committed 1024x64 mb64 recipe (the
+    gain is geometry-dependent — f32 is ~10% faster at mb512), and the
+    committed 10M flagship runs trained with it.  Set 'float32' for
+    bit-stable comparisons."""
     compute_dtype: str = "bfloat16"
     architecture: str = "silver"     # one of ARCHITECTURES (network.py:25-32)
     n_rotations: int = 4
