@@ -11,6 +11,7 @@ random on-device (no NN, matching the 'random policy' benchmark config),
 stepped under one jitted lax.scan so no host round-trips are counted.
 """
 import json
+import os
 import sys
 import time
 
@@ -105,6 +106,11 @@ def _flops_of(fn, *args):
 def main():
     from drl_tetris_tpu import enable_compilation_cache
     enable_compilation_cache()
+    if "--pallas-probe" in sys.argv:
+        # Child mode for the time-capped Pallas phase: print one float.
+        from drl_tetris_tpu.env.env import EnvConfig as _EC
+        print(bench_pallas(_EC(), 1024, 100, block_games=128))
+        return
     # 2000 ticks per dispatch: the axon tunnel costs ~30 ms fixed latency
     # per jitted call, which at 200 ticks was 35% of the measurement; the
     # metric is sustained throughput, not tunnel round-trip.
@@ -138,10 +144,29 @@ def main():
         # constraints force costlier op forms (matmul shifts, int detours).
         # The kernel is kept as the hardware-validated correctness gate at
         # a small fixed shape; the XLA scan is the production engine path.
+        # The Mosaic compile of the whole-rollout kernel is minutes-long on
+        # some hosts (and has been observed to exceed any reasonable budget
+        # on a cold, machine-keyed cache) — cap it in a SUBPROCESS so a
+        # pathological compile records pallas_ok=false instead of hanging
+        # the entire bench.
         try:
-            pallas_sps = bench_pallas(cfg, min(n_games, 1024), 100,
-                                      block_games=128)
-            pallas_ok = True
+            import subprocess
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--pallas-probe"],
+                capture_output=True, text=True, timeout=420)
+            if r.returncode == 0 and r.stdout.strip():
+                pallas_sps = float(r.stdout.strip().splitlines()[-1])
+                pallas_ok = True
+            else:
+                raise RuntimeError(
+                    (r.stderr or r.stdout or "no output").strip()
+                    .splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            pallas_ok = False
+            pallas_err = "Mosaic compile/run exceeded the 420s budget"
+            print(f"pallas bench FAILED (pallas_ok=false): {pallas_err}",
+                  file=sys.stderr)
         except Exception as e:
             pallas_ok = False
             pallas_err = str(e).split("\n")[0][:300]

@@ -7,8 +7,11 @@ r1 hypothesis that the scan was bound by the loop-carried state
 round-tripping through HBM is refuted (state traffic is ~2% of HBM
 bandwidth at the XLA path's rate; the tick is VPU-compute-bound, and
 XLA's fusion already handles it well).  Mosaic additionally cannot build
-blocks wider than 128 games here (the capped compile helper dies), which
-wastes 8x sublane packing on rank-1 state, and its i1/layout constraints
+blocks wider than 128 games here — r3 saw the compile helper OOM-killed;
+the r4 retry on a 125 GB-RAM host had the block_games=512 compile exceed
+a 15-minute budget (vs seconds at 128), so the kernel's theoretically
+best shape (full 8x sublane packing on rank-1 state) is not practically
+compilable — and its i1/layout constraints
 force costlier op forms than XLA's (see engine/shifts.py, step._sel).
 The kernel is retained as a hardware-validated correctness gate and a
 worked example of the games-in-lanes layout; the XLA scan is the
