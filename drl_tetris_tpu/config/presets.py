@@ -205,6 +205,22 @@ PRESETS: Dict[str, Dict[str, Any]] = {
                                     time_horizon=10_000_000),
         "entropy_loss": 0.0,
     },
+    # Round 5: the r4c recipe moved to the chip-speed geometry.  Measured
+    # on the v5e (docs/NOTES_ROUND5.md): at 1024x64 the fused iteration
+    # saturates at ~43.7% MFU from minibatch 256 up (8.4k env-steps/s,
+    # 2.0x the mb64 recipe every learning run previously trained with),
+    # so mb256 is the smallest-lr-risk geometry that hits the >=40% MFU
+    # bar (VERDICT r4 item 2).  lr is re-tuned for the 4x larger
+    # minibatch (sweep artifact in LEARNING_r05.json); the r4c entropy
+    # floor + decay-to-zero-entropy-pathology recipe is kept.
+    "r5_learning": {
+        "minibatch_size": 256,
+        "value_lr": LinearParameter(2e-4, final_val=6e-5,
+                                    time_horizon=10_000_000),
+        "entropy_loss": 0.0,
+        "entropy_floor_standalone": 10.0,
+        "ppo_epsilon": 0.05,
+    },
 }
 
 

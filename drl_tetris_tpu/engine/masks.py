@@ -23,9 +23,13 @@ Here the same sets are computed with fixed shapes, vectorized over the
   reachable(...) -> (4, W, H) bool reachability of every rest position via
       BFS over (rot, x, y) with the engine's exact move/kick set — a
       complete superset of the reference's heuristic finesse search.
-      NOTE: bit-exact parity with TestField's *finesse* subset (its search
-      is deliberately incomplete) is tracked as follow-up work; the
-      top-drop set is exact today and covered by parity tests.
+  finesse_rests(...) -> the bug-compatible replica of TestField's
+      *finesse* subset (its search is deliberately incomplete) —
+      emission-set-equal with the oracle every tick
+      (tests/test_finesse.py::test_finesse_parity_random_play).
+  reachable_paths(...) / placement_keys(...) -> parent-chain BFS
+      reconstructing an executable key macro for any legal rest
+      (TestField::findNextMove path reconstruction, TestField.cpp:113-125).
 """
 from __future__ import annotations
 

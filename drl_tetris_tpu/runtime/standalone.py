@@ -94,6 +94,14 @@ class StandaloneConfig:
     pool_prob: float = 0.0
     pool_size: int = 4
     pool_every: int = 0
+    # Opponent selection: "uniform", or "pfsp" — prioritized fictitious
+    # self-play (the league standard the reference community uses for
+    # anti-cycling): each pool entry carries an EMA of the learner's
+    # win rate against it, and opponents are drawn with variance
+    # weighting w*(1-w), concentrating training on even matches rather
+    # than already-crushed or hopeless ones.
+    pool_mode: str = "uniform"
+    pool_wr_lr: float = 0.05      # per-pool-segment EMA step
     # reward shaper fn (algos/reward_shapers.make_shaper) applied to
     # segments before GAE — where process_trajectory applies it
     # (trajectory.py:59)
@@ -153,6 +161,9 @@ class StandaloneTrainer:
             assert cfg.ppo.workers_computes_advantages, \
                 "pool training uses worker-side GAE"
             self._pool = collections.deque(maxlen=cfg.pool_size)
+            # per-entry learner-win-rate EMA, appended in lockstep with
+            # _pool so deque eviction keeps them aligned (PFSP weights)
+            self._pool_wr = collections.deque(maxlen=cfg.pool_size)
             self._host_rng = np.random.RandomState(cfg.seed + 7)
             pool_rollout = make_pool_rollout_fn(
                 self.env, self.worker_net, cfg.horizon)
@@ -170,6 +181,17 @@ class StandaloneTrainer:
                     learner_parity=0 if learner_first else 1)
                 state, stats = self.update(state, batch, kupd)
                 stats.update(gae_stats)
+                # learner outcomes vs this opponent (PFSP bookkeeping):
+                # at a done tick the acting player's terminal reward is
+                # +/-1 zero-sum, so the learner's outcome is the reward as
+                # recorded on its parity ticks and the negation elsewhere
+                lp = 0 if learner_first else 1
+                parity = (jnp.arange(seg.done.shape[0]) % 2)[:, None]
+                lrew = jnp.where(parity == lp, seg.reward, -seg.reward)
+                stats["pool/wins"] = jnp.sum(
+                    jnp.where(seg.done & (lrew > 0), 1, 0))
+                stats["pool/losses"] = jnp.sum(
+                    jnp.where(seg.done & (lrew < 0), 1, 0))
                 return state, env_state, stats
             self._fused_pool = jax.jit(
                 _fused_pool, static_argnames=("learner_first",))
@@ -185,6 +207,23 @@ class StandaloneTrainer:
         self.total_steps = 0
         self.stats = {}
 
+    def seed_pool(self, params) -> None:
+        """Pre-seed the opponent pool with an external frozen policy
+        (the CLI's --pool-seed path); keeps the PFSP EMA aligned."""
+        self._pool.append(params)
+        self._pool_wr.append(0.5)
+
+    def _pick_opponent(self) -> int:
+        """Uniform draw, or PFSP variance weighting w*(1-w): even matches
+        carry the most training signal; a floor keeps every entry in play
+        so a crushed (or crushing) opponent is still probed occasionally."""
+        import numpy as np
+        if self.cfg.pool_mode != "pfsp" or len(self._pool) == 1:
+            return int(self._host_rng.randint(len(self._pool)))
+        wr = np.asarray(self._pool_wr, np.float64)
+        wgt = np.maximum(wr * (1.0 - wr), 0.02)
+        return int(self._host_rng.choice(len(self._pool), p=wgt / wgt.sum()))
+
     def train_iteration(self):
         """One worker segment + one PPO update (trainer.py:71-75 semantics)."""
         cfg = self.cfg
@@ -196,16 +235,27 @@ class StandaloneTrainer:
         use_pool = (len(self._pool) > 0
                     and self._host_rng.rand() < cfg.pool_prob)
         if use_pool:
-            opp = self._pool[self._host_rng.randint(len(self._pool))]
+            idx = self._pick_opponent()
+            opp = self._pool[idx]
             self.state, self.env_state, stats = self._fused_pool(
                 self.state, self.env_state, kstep, opp,
                 learner_first=bool(self._iter % 2 == 0))
+            # fold this segment's finished rounds into the opponent's
+            # win-rate EMA (one host sync per POOL iteration only)
+            w = float(stats.pop("pool/wins"))
+            l = float(stats.pop("pool/losses"))
+            if w + l > 0:
+                self._pool_wr[idx] = (
+                    (1 - cfg.pool_wr_lr) * self._pool_wr[idx]
+                    + cfg.pool_wr_lr * w / (w + l))
+            stats["pool/opponent_winrate_ema"] = self._pool_wr[idx]
         else:
             self.state, self.env_state, stats = self._fused_step(
                 self.state, self.env_state, kstep)
         self._iter += 1
         if cfg.pool_every and self._iter % cfg.pool_every == 0:
             self._pool.append(jax.tree.map(jnp.asarray, self.state.params))
+            self._pool_wr.append(0.5)
         self.total_steps += cfg.n_envs * cfg.horizon
         self.stats = fetch_stats(stats)
         return self.stats

@@ -82,6 +82,43 @@ def test_pool_rollout_learner_values_and_parity():
     assert np.allclose(np.asarray(v_a), np.asarray(v_b))
 
 
+def test_pfsp_selection_prefers_even_matches():
+    """pool_mode='pfsp': opponents are drawn with variance weighting
+    w*(1-w), so the ~50% opponent dominates over crushed/hopeless ones."""
+    cfg = StandaloneConfig(
+        model=_tiny(),
+        ppo=PPOConfig(minibatch_size=8, n_train_epochs=1, lr=1e-3),
+        n_envs=4, horizon=8, seed=3,
+        pool_prob=1.0, pool_size=3, pool_every=1, pool_mode="pfsp")
+    tr = StandaloneTrainer(cfg)
+    tr.train_iteration()            # fills pool entry 0
+    tr.seed_pool(tr.state.params)   # entries 1, 2 via the CLI path
+    tr.seed_pool(tr.state.params)
+    assert list(tr._pool_wr) == [0.5, 0.5, 0.5]
+    tr._pool_wr[0], tr._pool_wr[1], tr._pool_wr[2] = 0.98, 0.5, 0.02
+    picks = np.bincount([tr._pick_opponent() for _ in range(400)],
+                        minlength=3)
+    # weights ~ (0.0196, 0.25, 0.0196) -> the even match gets ~86%
+    assert picks[1] > 250, picks
+    assert picks[0] > 0 and picks[2] > 0, picks  # floor keeps all in play
+
+
+def test_pfsp_winrate_ema_updates_from_pool_segments():
+    cfg = StandaloneConfig(
+        model=_tiny(),
+        ppo=PPOConfig(minibatch_size=8, n_train_epochs=1, lr=1e-3),
+        n_envs=4, horizon=8, seed=4,
+        pool_prob=1.0, pool_size=2, pool_every=1, pool_mode="pfsp",
+        pool_wr_lr=0.5)
+    tr = StandaloneTrainer(cfg)
+    tr.train_iteration()
+    for _ in range(6):
+        stats = tr.train_iteration()
+    assert "pool/opponent_winrate_ema" in stats
+    assert all(0.0 <= w <= 1.0 for w in tr._pool_wr)
+    assert len(tr._pool_wr) == len(tr._pool)
+
+
 def test_traj_len_ema_device_matches_host():
     import numpy as np
     from drl_tetris_tpu.runtime.standalone import (

@@ -82,7 +82,11 @@ def main():
         duel(f"step_{s}", snap)
 
     if args.vs:
-        base, _ = _load_agent(args.vs, cfg)
+        base, bcfg = _load_agent(args.vs, cfg)
+        # cross-checkpoint compatibility (tools/utils.py:54-64 game_size
+        # equality; VERDICT r4 item 6)
+        from drl_tetris_tpu.cli.main import _check_compat
+        _check_compat([fcfg, bcfg])
         duel(os.path.basename(args.vs.rstrip("/")), base)
 
     out = {"run_dir": args.run_dir, "final_step": final_step,
