@@ -215,7 +215,14 @@ PRESETS: Dict[str, Dict[str, Any]] = {
     # floor + decay-to-zero-entropy-pathology recipe is kept.
     "r5_learning": {
         "minibatch_size": 256,
-        "value_lr": LinearParameter(2e-4, final_val=6e-5,
+        # lr sweep (ab_r5_lrA/B/C, NOTES_ROUND5.md): 2.5M finals are
+        # head-to-head even across 1e-4/2e-4/4e-4, but only the
+        # linear-scaled 4e-4 crosses the random league anchor by 2M and
+        # reaches the healthy-entropy band (~1.3 nats, where r4c accrued
+        # all its strength) by 0.85M instead of ~4M; its one early dip
+        # toward collapse was caught by the floor (penalty fired at
+        # 655k, entropy recovered to ~1.3 and held).
+        "value_lr": LinearParameter(4e-4, final_val=1.2e-4,
                                     time_horizon=10_000_000),
         "entropy_loss": 0.0,
         "entropy_floor_standalone": 10.0,
