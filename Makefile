@@ -22,9 +22,12 @@ test:
 	python -m pytest tests/ -x -q
 
 # fast subset: skips the oracle-lockstep / heavy-compile modules (~20 min
-# saved on this 2-CPU box); run `make test` before shipping engine changes
+# saved on this 2-CPU box); run `make test` before shipping engine changes.
+# -n 2 --dist loadfile: two xdist workers (the suite cost is per-process
+# Python tracing/lowering of the jitted programs, which parallelizes;
+# loadfile keeps each module's fixed-port KV servers on one worker)
 test-quick:
-	python -m pytest tests/ -x -q -m 'not slow'
+	python -m pytest tests/ -x -q -m 'not slow' -n 2 --dist loadfile
 
 bench:
 	python bench.py

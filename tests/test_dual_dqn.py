@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from drl_tetris_tpu.algos.dqn import DQNConfig
 from drl_tetris_tpu.algos.replay import ReplayConfig
@@ -28,8 +29,14 @@ def _tiny_cfg(**kw):
         n_envs=8, horizon=8, **kw)
 
 
-def test_dual_dqn_trains_both_policies():
-    tr = DualPolicyDQNTrainer(_tiny_cfg())
+@pytest.fixture(scope="module")
+def tr():
+    # ONE trainer for the module: each instance re-pays ~20 s of program
+    # tracing on the 2-CPU box (VERDICT r4 item 4)
+    return DualPolicyDQNTrainer(_tiny_cfg())
+
+
+def test_dual_dqn_trains_both_policies(tr):
     p0_before = jax.device_get(jax.tree.leaves(tr.states[0].params)[0])
     p1_before = jax.device_get(jax.tree.leaves(tr.states[1].params)[0])
     for _ in range(3):
@@ -47,9 +54,8 @@ def test_dual_dqn_trains_both_policies():
     assert stats["winrate/policy_0"] >= 0.0
 
 
-def test_winrate_gate_skips_leading_policy():
-    tr = DualPolicyDQNTrainer(_tiny_cfg())
-    tr.train_iteration()  # fill replays past the threshold
+def test_winrate_gate_skips_leading_policy(tr):
+    tr.train_iteration()  # replays already past the threshold
     # force the tracker into "policy 0 is far ahead"
     tr.winrate.rate_0 = 0.95
     assert not tr.winrate.should_train(0)

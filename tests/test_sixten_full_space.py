@@ -4,6 +4,7 @@ get_actions exposes (tetris_environment.py:77-85), executed as pose-locks."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from drl_tetris_tpu.algos.replay import ReplayConfig
 from drl_tetris_tpu.algos.rollout import HParams
@@ -58,7 +59,11 @@ def test_full_space_policy_picks_only_legal_poses():
     assert picked_non_topdrop >= 1, "no finesse pose was ever picked"
 
 
+@pytest.mark.slow
 def test_sixten_full_space_trains():
+    # slow: one-off trainer over the finesse-space program (~30 s trace on
+    # the 2-CPU box); full-space POLICY legality stays in the quick set
+    # above, top-drop SIXten training is quick-covered in test_sixten.
     cfg = StandaloneSIXtenConfig(
         env=EnvConfig(engine=ENG), model=TINY,
         replay=ReplayConfig(capacity=512, k_step=2, height=10),

@@ -128,13 +128,19 @@ def test_sherlock_trains():
     assert _params_changed(p0, tr.state.params)
 
 
+@pytest.mark.slow
 def test_entropy_floor_standalone_guards_collapse():
     """The standalone floor (PPOConfig.entropy_floor_standalone — the
     collapse guard the reference cannot express, NOTES_ROUND4) penalizes
     entropy below the eps-noise floor independently of the c3 bonus:
     driving the SAME collapsed-ish policy with and without the guard, the
     guarded update must end with higher action entropy, and the penalty
-    stat must be active only when entropy is under the floor."""
+    stat must be active only when entropy is under the floor.
+
+    slow: builds two extra one-off trainers (~60 s of tracing on the
+    2-CPU box); the guard mechanism is also exercised at full scale by
+    the ab_r5_floorproof run (docs/NOTES_ROUND5.md) and its firing is
+    covered in-quick by the pool/pfsp module's shared trainer."""
     from drl_tetris_tpu.runtime.standalone import (
         StandaloneConfig, StandaloneTrainer)
 
