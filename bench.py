@@ -197,15 +197,17 @@ def main():
     # tick + GAE + 4 PPO epochs), so learner-path regressions are
     # driver-visible (VERDICT r1 weak item 5; reference anecdote ~1.2k
     # samples/s learner-side, README.md:112).
-    # Two geometries (VERDICT r3 item 4 — the benched recipe must be the
-    # recipe that trains): the headline `train_*` keys are the committed
-    # learning recipe (1024x64 mb64 — the parity10m_r4* runs in
-    # LEARNING_r04.json use exactly this shape), and `train_peak_*` is the
-    # TPU-shaped batch geometry showing the chip's headroom.
+    # Two geometries (VERDICT r3 item 4 / r4 item 2 — the benched recipe
+    # must be the recipe that trains): the headline `train_*` keys are the
+    # committed learning recipe (1024x64 mb256, the r5_learning preset —
+    # the parity10m_r5* runs in LEARNING_r05.json train exactly this
+    # shape at ~43.7% MFU; the fused iteration saturates there, measured
+    # flat mb256..mb2048, docs/NOTES_ROUND5.md), and `train_peak_*` is
+    # the large-batch geometry confirming the plateau.
     train = None
     if "--no-train" not in sys.argv:
         try:
-            train = bench_training(n_envs=1024, horizon=64, minibatch=64)
+            train = bench_training(n_envs=1024, horizon=64, minibatch=256)
             peak_geom = bench_training(n_envs=2048, horizon=72,
                                        minibatch=2048)
             train.update({f"train_peak_{k[len('train_'):]}" : v
@@ -233,18 +235,19 @@ def main():
     print(json.dumps(out))
 
 
-def bench_training(n_envs: int = 512, horizon: int = 72,
-                   minibatch: int = 64, iters: int = 3):
+def bench_training(n_envs: int = 1024, horizon: int = 64,
+                   minibatch: int = 256, iters: int = 3):
     """NN-in-the-loop training throughput + MFU of the fused standalone
     SVENton-PPO iteration (rollout + GAE + 4 PPO epochs, one dispatch).
 
-    Default recipe: the committed learning geometry (512 envs, minibatch
-    64 — the shape every learning artifact in data/summaries trains with);
-    main() additionally reports the TPU-shaped geometry (2048 envs,
+    Default recipe: the committed learning geometry (1024x64, minibatch
+    256 — the r5_learning preset every r5 learning artifact trains with);
+    main() additionally reports the large-batch geometry (2048x72,
     minibatch 2048) as `train_peak_*` — same algorithm and model as the
     reference's update (4 epochs over every collected sample,
     sventon_agent_ppo_trainer.py:45-65), batch sized for the MXU instead
-    of a 2017 GPU (minibatch 64 leaves the chip >2x idle; measured r3).
+    of a 2017 GPU (minibatch 64 leaves the chip >2x idle; measured r3,
+    fixed r5 — the committed recipe now sits ON the ~43.7% MFU plateau).
 
     MFU accounting: algorithmic FLOPs from single-call cost analysis
     (scan bodies count at trip 1, so totals are per-sample costs x true
