@@ -199,17 +199,18 @@ def main():
     # samples/s learner-side, README.md:112).
     # Two geometries (VERDICT r3 item 4 / r4 item 2 — the benched recipe
     # must be the recipe that trains): the headline `train_*` keys are the
-    # committed learning recipe (1024x64 mb256, the r5_learning preset —
-    # the parity10m_r5* runs in LEARNING_r05.json train exactly this
-    # shape at ~43.7% MFU; the fused iteration saturates there, measured
-    # flat mb256..mb2048, docs/NOTES_ROUND5.md), and `train_peak_*` is
-    # the large-batch geometry confirming the plateau.
+    # committed learning recipe (1024x64 mb64 — the geometry that HOLDS
+    # strength at 10M; the r5 campaign measured the chip-efficient mb256
+    # recipe matching it to 2.5M then degrading to 0-64 vs the demo by
+    # 10M, docs/NOTES_ROUND5.md), and `train_peak_*` is the ~43.7%-MFU
+    # saturation geometry (flat mb256..mb2048) that the learning evidence
+    # rejected — reported, not committed.
     train = None
     if "--no-train" not in sys.argv:
         try:
-            train = bench_training(n_envs=1024, horizon=64, minibatch=256)
-            peak_geom = bench_training(n_envs=2048, horizon=72,
-                                       minibatch=2048)
+            train = bench_training(n_envs=1024, horizon=64, minibatch=64)
+            peak_geom = bench_training(n_envs=1024, horizon=64,
+                                       minibatch=256)
             train.update({f"train_peak_{k[len('train_'):]}" : v
                           for k, v in peak_geom.items()
                           if k.startswith("train_")})
@@ -236,18 +237,18 @@ def main():
 
 
 def bench_training(n_envs: int = 1024, horizon: int = 64,
-                   minibatch: int = 256, iters: int = 3):
+                   minibatch: int = 64, iters: int = 3):
     """NN-in-the-loop training throughput + MFU of the fused standalone
     SVENton-PPO iteration (rollout + GAE + 4 PPO epochs, one dispatch).
 
     Default recipe: the committed learning geometry (1024x64, minibatch
-    256 — the r5_learning preset every r5 learning artifact trains with);
-    main() additionally reports the large-batch geometry (2048x72,
-    minibatch 2048) as `train_peak_*` — same algorithm and model as the
-    reference's update (4 epochs over every collected sample,
-    sventon_agent_ppo_trainer.py:45-65), batch sized for the MXU instead
-    of a 2017 GPU (minibatch 64 leaves the chip >2x idle; measured r3,
-    fixed r5 — the committed recipe now sits ON the ~43.7% MFU plateau).
+    64 — the shape the strength-holding learning artifacts train with);
+    main() additionally reports the mb256 geometry as `train_peak_*`:
+    it sits on the measured ~43.7%-MFU saturation plateau (flat
+    mb256..mb2048, 2.0x the mb64 recipe's wall speed) but the r5
+    learning campaign showed it matches mb64 only to ~2.5M steps and
+    degrades by 10M (docs/NOTES_ROUND5.md), so it is reported as the
+    chip's headroom, not committed as the recipe.
 
     MFU accounting: algorithmic FLOPs from single-call cost analysis
     (scan bodies count at trip 1, so totals are per-sample costs x true

@@ -205,24 +205,18 @@ PRESETS: Dict[str, Dict[str, Any]] = {
                                     time_horizon=10_000_000),
         "entropy_loss": 0.0,
     },
-    # Round 5: the r4c recipe moved to the chip-speed geometry.  Measured
-    # on the v5e (docs/NOTES_ROUND5.md): at 1024x64 the fused iteration
-    # saturates at ~43.7% MFU from minibatch 256 up (8.4k env-steps/s,
-    # 2.0x the mb64 recipe every learning run previously trained with),
-    # so mb256 is the smallest-lr-risk geometry that hits the >=40% MFU
-    # bar (VERDICT r4 item 2).  lr is re-tuned for the 4x larger
-    # minibatch (sweep artifact in LEARNING_r05.json); the r4c entropy
-    # floor + decay-to-zero-entropy-pathology recipe is kept.
+    # Round 5 recipe of record: the r4c recipe (clean + lr decay) with
+    # the now-validated entropy floor on by default.  The chip-efficient
+    # mb256 geometry (43.7% MFU, 2x wall speed; lr sweep ab_r5_lrA/B/C)
+    # was tried as the committed recipe and REJECTED on learning
+    # evidence: it matches mb64 head-to-head at 2.5M but degrades by 10M
+    # (parity10m_r5 final lost to its own 4-7M snapshots and 0-64 to the
+    # demo; 8-epoch repair destabilized — docs/NOTES_ROUND5.md).  Large
+    # minibatches are available via --set minibatch_size=... for short
+    # runs where the 2x speed is worth the late-run risk.
     "r5_learning": {
-        "minibatch_size": 256,
-        # lr sweep (ab_r5_lrA/B/C, NOTES_ROUND5.md): 2.5M finals are
-        # head-to-head even across 1e-4/2e-4/4e-4, but only the
-        # linear-scaled 4e-4 crosses the random league anchor by 2M and
-        # reaches the healthy-entropy band (~1.3 nats, where r4c accrued
-        # all its strength) by 0.85M instead of ~4M; its one early dip
-        # toward collapse was caught by the floor (penalty fired at
-        # 655k, entropy recovered to ~1.3 and held).
-        "value_lr": LinearParameter(4e-4, final_val=1.2e-4,
+        "minibatch_size": 64,
+        "value_lr": LinearParameter(1e-4, final_val=3e-5,
                                     time_horizon=10_000_000),
         "entropy_loss": 0.0,
         "entropy_floor_standalone": 10.0,
