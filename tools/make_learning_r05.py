@@ -1,0 +1,168 @@
+"""Assemble LEARNING_r05.json from the round-5 campaign artifacts.
+
+Reads elo histories (league curves), entropy telemetry (summaries
+jsonl), and gauntlet h2h jsons produced during the round; emits the
+round-stamped learning artifact.  Every path read here is asserted to
+exist (the docs-cite-artifacts guard applies to the output too).
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def league_curve(run_dir, every=1):
+    out = []
+    with open(os.path.join(run_dir, "elo_history.jsonl")) as f:
+        for line in f:
+            e = json.loads(line)
+            out.append({"step": e["step"],
+                        "elo": e["ratings"].get(e["snapshot"]),
+                        "demo_anchor": e["ratings"].get("demo_weights")})
+    return out[::every] + ([out[-1]] if (len(out) - 1) % every else [])
+
+
+def entropy_curve(summary, every=6):
+    rows = [json.loads(l) for l in open(summary)]
+    pts = [{"step": d["step"], "entropy": round(d["entropy/entropy"], 3)}
+           for d in rows]
+    return pts[::every] + ([pts[-1]] if (len(pts) - 1) % every else [])
+
+
+def floor_firings(summary):
+    rows = [json.loads(l) for l in open(summary)]
+    return [{"step": d["step"],
+             "penalty": round(d["losses/entropy_floor_penalty"], 4)}
+            for d in rows if d.get("losses/entropy_floor_penalty", 0) > 0]
+
+
+def h2h(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    art = {
+        "round": 5,
+        "headline": (
+            "parity10m_r5c/r5d (PFSP opponent-pool continuations of the r4c "
+            "flagship at mb64 lr 3e-5): best external results on record vs "
+            "the fixed 6M-demo baseline. Cross-round scoreboard: r3b 0-64, "
+            "r4b 1-63, r4c 16-48 (25%), r4d 19-45 (30%), r5c 23-41 (35.9%), "
+            "r5d: see gauntlet below. Also this round: the entropy-floor "
+            "guard validated live (fires and blocks collapse, twice), the "
+            "chip-efficient mb256 recipe measured and honestly REJECTED "
+            "(matches mb64 to 2.5M, degrades to 0-64 vs demo by 10M), and "
+            "PFSP (variance-weighted opponent draw) shipped as the pool "
+            "default lever."),
+        "recipe": {
+            "base": "parity10m_r4c 10M final (r4_learning + floor, mb64)",
+            "continuations": "8M each, constant lr 3e-5, 1024x64 mb64, "
+                             "pool_prob 0.3, pool_size 8, pool_every 8 "
+                             "(524k steps), pool_mode pfsp (w*(1-w) draw "
+                             "over per-opponent winrate EMAs), pool seeded "
+                             "with demo_weights (+ r4c/r4d finals for r5d)",
+        },
+        "runs": {},
+        "negative_controls": {},
+        "floor_guard_validation": {
+            "ab_r5_floorproof": {
+                "recipe": "ab_r4_B's exact collapse-prone geometry (512x72 "
+                          "mb64 clean+decay) + floor",
+                "firing": floor_firings(
+                    "data/summaries/ab_r5_floorproof.jsonl"),
+                "entropy_after": entropy_curve(
+                    "data/summaries/ab_r5_floorproof.jsonl", every=12),
+                "outcome": "penalty fired at 2.03M; entropy stabilized "
+                           "~2.0-2.15 through 2.5M; league 1026-1078 vs "
+                           "ab_r4_B's post-collapse crater to 577",
+            },
+            "ab_r5_lrC_catch": {
+                "recipe": "mb256 lr sweep winner",
+                "firing": floor_firings("data/summaries/ab_r5_lrC.jsonl"),
+                "outcome": "an r4-class cliff (H 3.49->1.09 in one 65k "
+                           "window at 655k) caught mid-fall; stable "
+                           "~1.0-1.4 after",
+            },
+        },
+        "mb256_evidence": {
+            "mfu_sweep": {
+                "1024x64 mb64": {"env_steps_per_s": 4187.7, "mfu_pct": 21.8},
+                "1024x64 mb256": {"env_steps_per_s": 8367.8, "mfu_pct": 43.6},
+                "1024x64 mb512": {"env_steps_per_s": 8402.0, "mfu_pct": 43.7},
+                "1024x64 mb1024": {"env_steps_per_s": 8389.5, "mfu_pct": 43.7},
+                "1024x64 mb2048": {"env_steps_per_s": 8402.7, "mfu_pct": 43.7},
+                "2048x72 mb2048": {"env_steps_per_s": 8437.7, "mfu_pct": 43.9},
+            },
+            "lr_sweep_2p5M_h2h": "A(1e-4) 60 / B(2e-4) 70 / C(4e-4) 62 of "
+                                 "192 decided — even; C alone crosses the "
+                                 "random anchor by 2M",
+            "flagship_10M": h2h("data/summaries/h2h_r5.json"),
+            "conclusion": "matches mb64 to 2.5M, degrades by 10M (final "
+                          "loses to its own 4-7M snapshots, 0-64 vs demo); "
+                          "8-epoch repair halves throughput to mb64 speed "
+                          "AND destabilizes — committed recipe stays mb64",
+        },
+        "bars": {},
+    }
+
+    for run in ("parity10m_r5c", "parity10m_r5d"):
+        rd = os.path.join("data/models", run)
+        summary = os.path.join("data/summaries", f"{run}.jsonl")
+        h2h_path = os.path.join(
+            "data/summaries", f"h2h_{run.split('_')[1]}.json")
+        art["runs"][run] = {
+            "run_dir": rd,
+            "league_curve": league_curve(rd),
+            "entropy_curve": entropy_curve(summary, every=10),
+            "gauntlet": h2h(h2h_path),
+        }
+
+    art["negative_controls"]["ab_r5_poolhot"] = {
+        "summary": "PFSP pool from scratch at hot lr 4e-4: collapse-"
+                   "recover-collapse oscillation (H->0 at pool engagement, "
+                   "floor-driven recovery to 1.06@2.8M, re-collapse from "
+                   "5.9M); killed at 6.4M",
+        "league_curve": league_curve("data/models/ab_r5_poolhot"),
+    }
+    art["negative_controls"]["parity10m_r5_mb256"] = {
+        "summary": "see mb256_evidence.flagship_10M",
+    }
+    art["negative_controls"]["ab_r5_ep8"] = {
+        "summary": "mb256 x 8 epochs: 4368 env-steps/s (= mb64 speed) and "
+                   "league 957@655k -> 478@2M; killed at 2.2M",
+        "league_curve": league_curve("data/models/ab_r5_ep8"),
+    }
+
+    r5c = art["runs"]["parity10m_r5c"]["gauntlet"]["results"]
+    r5d = art["runs"]["parity10m_r5d"]["gauntlet"]["results"]
+    best = max(r5c["demo_weights"]["final_winrate_decided"],
+               r5d["demo_weights"]["final_winrate_decided"])
+    art["bars"] = {
+        "beats_6M_demo": {
+            "met": best >= 0.55,
+            "evidence": f"best {best:.1%} of decided "
+                        "(cross-round 0% -> 1.6% -> 25% -> 30% -> "
+                        f"{r5c['demo_weights']['final_winrate_decided']:.1%}"
+                        f" -> {r5d['demo_weights']['final_winrate_decided']:.1%})",
+        },
+        "final_beats_every_snapshot_55pct": {
+            "met": all(v["final_winrate_decided"] >= 0.55
+                       for v in r5d.values()),
+            "evidence": "continuation-structural flatness: a continuation's "
+                        "early snapshots inherit the full base, so its "
+                        "final cannot dominate them the way a scratch "
+                        "run's final dominates its weak early phase "
+                        "(docs/NOTES_ROUND5.md)",
+        },
+    }
+
+    with open("LEARNING_r05.json", "w") as f:
+        json.dump(art, f, indent=1)
+    print("wrote LEARNING_r05.json")
+    print(json.dumps(art["bars"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
