@@ -73,6 +73,7 @@ def _headline(stats):
 def cmd_train(args):
     if getattr(args, "platform", ""):
         _force_platform(args.platform)
+    _enable_cache(with_torch=True)
     if getattr(args, "multihost", False):
         # DCN scale-out: every host runs this same command; JAX wires the
         # global device mesh (SURVEY.md 2.5).  MUST run before anything
@@ -709,6 +710,26 @@ def cmd_bench(args):
          str(args.n_envs or 4096), str(args.iters)]))
 
 
+def _enable_cache(with_torch=False):
+    """Persistent-compile-cache activation with a STABLE taint namespace.
+
+    Commands that will construct a MetricsWriter (train/trainer) import
+    torch EAGERLY first: loading torch's native libs flips XLA:CPU's
+    target-tuning features for every later compile, and the cache keys on
+    that state (drl_tetris_tpu/__init__._taint_tag) — a mid-process torch
+    import would mix incompatible AOT executables into one namespace and
+    crash later readers (docs/NOTES_ROUND5.md).  Torch-free commands
+    (eval/play/help) stay in the 'plain' namespace shared with the test
+    suite and bench."""
+    if with_torch:
+        try:
+            import torch  # noqa: F401
+        except ImportError:
+            pass
+    from drl_tetris_tpu import enable_compilation_cache
+    enable_compilation_cache()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="drl_tetris_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -839,6 +860,7 @@ def main(argv=None):
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    _enable_cache()   # plain namespace; cmd_train re-keys to 'tf' (torch)
     return args.fn(args)
 
 

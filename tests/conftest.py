@@ -5,15 +5,20 @@ exercised without TPU hardware (SURVEY.md section 4 test plan).  The config
 update must happen before any backend is initialized; the axon sitecustomize
 in this image force-selects the TPU tunnel otherwise.
 
-RELIABILITY NOTE (r3->r4): the r3 "heavy concurrent process" segfault
-theory was wrong.  Root cause (judge-reproduced, VERDICT r3 weak #6): the
-persistent XLA cache was SHARED across machines via ~/.cache, and XLA:CPU
-AOT executables embed the compiling host's CPU feature set — loading one
-on a host with different features SIGILLs ("Machine type used for XLA:CPU
-compilation doesn't match the machine type for execution",
-cpu_aot_loader).  Fixed in drl_tetris_tpu/__init__.py by keying the cache
-directory on a CPU-model+flags fingerprint, so stale foreign-machine
-executables can never be served.
+RELIABILITY NOTE (r3->r5): two distinct cache-poisoning crashes, same
+cpu_aot_loader symptom.  (r3->r4) the persistent XLA cache was SHARED
+across machines via ~/.cache, and XLA:CPU AOT executables embed the
+compiling host's CPU feature set — loading one on a host with different
+features SIGILLs.  Fixed by keying the cache dir on a CPU-model+flags
+fingerprint.  (r5) the SAME machine can still poison itself: a process
+with torch/tensorflow native libs loaded compiles XLA:CPU executables
+with different target-tuning features (+prefer-no-scatter/+prefer-no-
+gather — reproduced minimally, docs/NOTES_ROUND5.md), and a torch-free
+process (this test suite) deserializing such an entry can SIGSEGV inside
+compilation_cache.get_executable_and_time.  Fixed by ALSO keying the
+cache dir on the taint state (drl_tetris_tpu/__init__._taint_tag): the
+suite shares the '-plain' namespace with bench/eval; CLI training
+processes import torch eagerly and use '-tf'.
 """
 import os
 
