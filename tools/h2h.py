@@ -53,22 +53,33 @@ def main():
             lambda ref, v: jnp.asarray(v, ref.dtype).reshape(ref.shape),
             final.params, raw_params)
 
-    half = args.games // 2
     results = {}
 
     def duel(name, opp):
         # hash() is salted per process (PYTHONHASHSEED); a sha1 digest keeps
         # the gauntlet reproducible across invocations with a fixed --seed.
+        # Games are spread over several independent seed pairs: with
+        # deterministic (argmax) agents, outcomes WITHIN one reset batch
+        # are correlated (measured r5: two 32-game batches jointly hit 73%
+        # where the 768-game rate is ~35% — docs/NOTES_ROUND5.md), so a
+        # single-pair estimate carries far more than binomial variance.
         import hashlib
         h = int(hashlib.sha1(name.encode()).hexdigest(), 16) % 1000
-        w_a, w_b, und = play_match(env_cfg, (final, opp), n_games=half,
-                                   seed=args.seed + h)
-        w2_b, w2_a, und2 = play_match(env_cfg, (opp, final), n_games=half,
-                                      seed=args.seed + h + 1)
-        wins, losses = int(w_a + w2_a), int(w_b + w2_b)
+        pairs = max(1, min(4, args.games // 16))
+        per = max(1, args.games // (2 * pairs))
+        wins = losses = und = 0
+        for k in range(pairs):
+            base = args.seed + h + 2 * k
+            w_a, w_b, u = play_match(env_cfg, (final, opp), n_games=per,
+                                     seed=base)
+            w2_b, w2_a, u2 = play_match(env_cfg, (opp, final), n_games=per,
+                                        seed=base + 1)
+            wins += int(w_a + w2_a)
+            losses += int(w_b + w2_b)
+            und += int(u + u2)
         results[name] = {
             "final_wins": wins, "final_losses": losses,
-            "undecided": int(und + und2),
+            "undecided": und,
             "final_winrate_decided": (round(wins / max(wins + losses, 1), 3)),
         }
         print(f"final vs {name}: {wins}-{losses} "

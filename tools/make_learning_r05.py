@@ -137,19 +137,24 @@ def main():
         "league_curve": league_curve("data/models/ab_r5_ep8"),
     }
 
-    demo_rates = {
-        run: art["runs"][run]["gauntlet"]["results"]["demo_weights"][
-            "final_winrate_decided"] for run in art["runs"]}
+    # The definitive numbers: the 1024-game robust protocol (single-pair
+    # 64-game gauntlets carry more than binomial variance for
+    # deterministic agents — measurement finding, docs/NOTES_ROUND5.md)
+    robust = json.load(open("data/summaries/robust_demo_eval.json"))
+    art["robust_demo_eval"] = robust
+    demo_rates = {run: robust["results"][run]["rate"]
+                  for run in art["runs"] if run in robust["results"]}
     best_run = max(demo_rates, key=demo_rates.get)
     best = demo_rates[best_run]
     last = art["runs"][best_run]["gauntlet"]["results"]
     art["bars"] = {
         "beats_6M_demo": {
             "met": best >= 0.55,
-            "evidence": f"best {best:.1%} of decided ({best_run}); "
-                        "cross-round 0% -> 1.6% -> 25% -> 30%, this round "
-                        + " -> ".join(f"{demo_rates[r]:.1%}" for r in
-                                      sorted(demo_rates)),
+            "evidence": f"best {best:.1%} of 1024 games ({best_run}); "
+                        "robust cross-round r4c 26.1% -> r4d 30.6%, this "
+                        "round " + " -> ".join(
+                            f"{demo_rates[r]:.1%}" for r in
+                            sorted(demo_rates)),
         },
         "final_beats_every_snapshot_55pct": {
             "met": all(v["final_winrate_decided"] >= 0.55
